@@ -1,0 +1,149 @@
+"""Public differentiable rasterizer API.
+
+`rasterize(...)` is the TPU-native replacement for the reference's CUDA
+`GaussianRasterizer` call (ref gaussian_renderer/__init__.py:197-205): static
+shapes, projection + instance sort in XLA, tile blending in Pallas with an
+analytic custom VJP. Gradients flow to means3d/scales/quats/colors/opacities
+through the (differentiable) projection; the per-gaussian scatter-add of
+instance gradients is the autodiff transpose of the instance gather.
+
+Backends: "pallas" (TPU, or interpret-mode on CPU) and "reference" (dense
+pure-JAX oracle, small scenes only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from contextgs_tpu.ops.rasterize.projection import (ProjectedGaussians,
+                                                    project_gaussians,
+                                                    visible_filter)
+from contextgs_tpu.ops.rasterize.reference import blend_reference
+from contextgs_tpu.ops.rasterize.sorting import TileInstances, expand_and_sort
+from contextgs_tpu.ops.rasterize.tile_kernel import (PACK, blend_backward_pallas,
+                                                     blend_forward_pallas)
+
+__all__ = ["rasterize", "visible_filter", "project_gaussians",
+           "expand_and_sort", "RasterOutput"]
+
+
+class RasterOutput(NamedTuple):
+    image: jnp.ndarray        # [3,H,W] composited with background
+    final_t: jnp.ndarray      # [H,W] final transmittance
+    radii: jnp.ndarray        # [G] int32
+    visibility: jnp.ndarray   # [G] bool (radius > 0)
+    overflowed: jnp.ndarray   # [] bool — instance budget exceeded
+
+
+def _float0_like(x):
+    return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _blend_pallas(packed, tile_bounds,
+                  n_tiles: int, tiles_x: int, tile_size: int, chunk_size: int,
+                  interpret: bool):
+    return blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
+                                tile_size, chunk_size, interpret)
+
+
+def _blend_fwd(packed, tile_bounds, n_tiles, tiles_x, tile_size,
+               chunk_size, interpret):
+    out = blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
+                               tile_size, chunk_size, interpret)
+    return out, (packed, tile_bounds, out)
+
+
+def _blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
+               residuals, cot):
+    packed, tile_bounds, out = residuals
+    grads = blend_backward_pallas(packed, tile_bounds, out, cot, n_tiles,
+                                  tiles_x, tile_size, chunk_size, interpret)
+    # slots past the last segment are never written by any tile program —
+    # mask the uninitialized tail before the gather-transpose scatter-add
+    in_use = jnp.arange(packed.shape[1]) < tile_bounds[-1]
+    grads = jnp.where(in_use[None, :], grads, 0.0)
+    return grads, _float0_like(tile_bounds)
+
+
+_blend_pallas.defvjp(_blend_fwd, _blend_bwd)
+
+
+def rasterize(
+    means3d: jnp.ndarray,       # [G,3]
+    scales: jnp.ndarray,        # [G,3]
+    quats: jnp.ndarray,         # [G,4] normalized
+    colors: jnp.ndarray,        # [G,3]
+    opacities: jnp.ndarray,     # [G]
+    *,
+    world_view: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    tanfovx,
+    tanfovy,
+    width: int,
+    height: int,
+    bg: jnp.ndarray,            # [3]
+    tile_size: int = 16,
+    budget: int = 1 << 18,
+    chunk_size: int = 256,
+    backend: str = "pallas",
+    interpret: bool | None = None,
+    valid: jnp.ndarray | None = None,
+    scale_modifier: float = 1.0,
+    screen_dummy: jnp.ndarray | None = None,
+) -> RasterOutput:
+    """Differentiable tile rasterization of 3D gaussians.
+
+    width/height/tile_size/budget/chunk_size/backend are static.
+    `valid` force-culls padded gaussian slots.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tiles_x = (width + tile_size - 1) // tile_size
+    tiles_y = (height + tile_size - 1) // tile_size
+    n_tiles = tiles_x * tiles_y
+
+    proj = project_gaussians(means3d, scales, quats, world_view, full_proj,
+                             tanfovx, tanfovy, width, height, tile_size,
+                             scale_modifier, valid=valid)
+    if screen_dummy is not None:
+        # densification-statistics hook (ref gaussian_renderer/__init__.py:168-173):
+        # caller passes zeros and reads the cotangent; the 0.5·W/0.5·H factors
+        # reproduce the CUDA backward's NDC-scaled viewspace gradient so the
+        # densify_grad_threshold transfers unchanged.
+        ndc_scale = jnp.array([0.5 * width, 0.5 * height], means3d.dtype)
+        proj = proj._replace(means2d=proj.means2d + screen_dummy * ndc_scale)
+    inst = expand_and_sort(proj, tiles_x, tiles_y, budget, align=chunk_size)
+
+    if backend == "reference":
+        img, final_t = blend_reference(proj, inst, colors, opacities,
+                                       width, height, tile_size, bg=None)
+    else:
+        g = inst.gauss_ids
+        # pad slots (valid=False) are neutralized via zero opacity
+        opac = jnp.where(inst.valid, opacities[g], 0.0)
+        packed = jnp.stack([
+            proj.means2d[g, 0], proj.means2d[g, 1],
+            proj.conics[g, 0], proj.conics[g, 1], proj.conics[g, 2],
+            opac,
+            colors[g, 0], colors[g, 1], colors[g, 2],
+        ], axis=0)                                        # [9, B_pad]
+        packed = jnp.concatenate([
+            packed,
+            jnp.zeros((PACK - 9, packed.shape[1]), packed.dtype)], axis=0)
+        tiles = _blend_pallas(packed, inst.tile_bounds, n_tiles, tiles_x,
+                              tile_size, chunk_size, interpret)
+        # [n_tiles, 256, 8] → [8, H, W]
+        full = tiles.reshape(tiles_y, tiles_x, tile_size, tile_size, 8)
+        full = full.transpose(4, 0, 2, 1, 3).reshape(
+            8, tiles_y * tile_size, tiles_x * tile_size)
+        img = full[0:3, :height, :width]
+        final_t = full[3, :height, :width]
+
+    image = img + final_t[None] * bg[:, None, None]
+    return RasterOutput(image=image, final_t=final_t, radii=proj.radii,
+                        visibility=proj.radii > 0, overflowed=inst.overflowed)

@@ -1,0 +1,161 @@
+"""Gaussian projection: 3D covariance → EWA 2D conic, culling, tile extents.
+
+Pure differentiable JAX (VPU-friendly, batched over all gaussians); the
+non-differentiable sort/blend stages consume its stop-gradient outputs.
+
+Behavioral spec: the forward math of the reference CUDA rasterizer
+(/root/reference submodule `diff-gaussian-rasterization`, interface at
+gaussian_renderer/__init__.py:179-205): view-space z cull at 0.2, frustum
+clamp at 1.3*tanfov inside the Jacobian, +0.3 screen-space dilation,
+radius = ceil(3*sqrt(max eigenvalue)), ndc2Pix(v) = ((v+1)*S - 1)/2.
+
+Matrix convention: row-vector transforms, `[p,1] @ M` (see scene/cameras.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ProjectedGaussians(NamedTuple):
+    """Per-gaussian screen-space quantities, all [G, ...]."""
+
+    means2d: jnp.ndarray    # [G,2] pixel coords
+    conics: jnp.ndarray     # [G,3] inverse 2D covariance (a, b, c)
+    depths: jnp.ndarray     # [G] view-space z
+    radii: jnp.ndarray      # [G] int32 screen radius (0 = culled)
+    rect_min: jnp.ndarray   # [G,2] int32 inclusive tile rect min (x, y)
+    rect_max: jnp.ndarray   # [G,2] int32 exclusive tile rect max (x, y)
+    n_tiles: jnp.ndarray    # [G] int32 tiles touched (0 = culled)
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """[...,4] (w,x,y,z), assumed normalized → [...,3,3] rotation."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
+def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray,
+                scale_modifier: float = 1.0) -> jnp.ndarray:
+    """World-space covariance Σ = R S² Rᵀ (3DGS convention), [G,3,3]."""
+    R = quat_to_rotmat(quats)
+    s2 = jnp.square(scales * scale_modifier)
+    return jnp.einsum("gij,gj,gkj->gik", R, s2, R)
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,       # [G,3]
+    scales: jnp.ndarray,        # [G,3]
+    quats: jnp.ndarray,         # [G,4] normalized (w,x,y,z)
+    world_view: jnp.ndarray,    # [4,4] transposed W2V
+    full_proj: jnp.ndarray,     # [4,4] transposed world→clip
+    tanfovx: float,
+    tanfovy: float,
+    width: int,
+    height: int,
+    tile_size: int = 16,
+    scale_modifier: float = 1.0,
+    valid: jnp.ndarray | None = None,   # [G] bool; False → force-cull
+) -> ProjectedGaussians:
+    """EWA-project all gaussians to screen space.
+
+    width/height/tile_size are static; everything else is traced.
+    """
+    G = means3d.shape[0]
+    ones = jnp.ones((G, 1), means3d.dtype)
+    p_hom4 = jnp.concatenate([means3d, ones], axis=1)
+
+    p_view = p_hom4 @ world_view            # [G,4]
+    depths = p_view[:, 2]
+
+    p_clip = p_hom4 @ full_proj             # [G,4]
+    p_w = 1.0 / (p_clip[:, 3] + 1e-7)
+    p_proj = p_clip[:, :3] * p_w[:, None]
+
+    # --- 2D covariance via EWA splatting ---
+    focal_x = width / (2.0 * tanfovx)
+    focal_y = height / (2.0 * tanfovy)
+    lim_x, lim_y = 1.3 * tanfovx, 1.3 * tanfovy
+    z = depths
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    tx = jnp.clip(p_view[:, 0] / safe_z, -lim_x, lim_x) * z
+    ty = jnp.clip(p_view[:, 1] / safe_z, -lim_y, lim_y) * z
+    inv_z = 1.0 / safe_z
+    inv_z2 = inv_z * inv_z
+
+    zeros = jnp.zeros_like(z)
+    # J: [G,2,3] perspective Jacobian
+    J = jnp.stack([
+        jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
+        jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
+    ], axis=-2)
+    Rv = world_view[:3, :3].T               # world→view rotation
+    T = J @ Rv                              # [G,2,3]
+    cov3d = build_cov3d(scales, quats, scale_modifier)
+    cov2d = jnp.einsum("gij,gjk,glk->gil", T, cov3d, T)
+    cov2d = cov2d + 0.3 * jnp.eye(2, dtype=cov2d.dtype)
+
+    a, b, c = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    det = a * c - b * b
+    det_ok = det > 0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / safe_det
+    conics = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    means2d = jnp.stack([
+        ((p_proj[:, 0] + 1.0) * width - 1.0) * 0.5,
+        ((p_proj[:, 1] + 1.0) * height - 1.0) * 0.5,
+    ], axis=-1)
+
+    # --- tile rect (getRect semantics: min inclusive, max exclusive) ---
+    tiles_x = (width + tile_size - 1) // tile_size
+    tiles_y = (height + tile_size - 1) // tile_size
+    m2i = jax.lax.stop_gradient(means2d)
+    r = jax.lax.stop_gradient(radius_f)
+    rect_min = jnp.stack([
+        jnp.clip(((m2i[:, 0] - r) / tile_size).astype(jnp.int32), 0, tiles_x),
+        jnp.clip(((m2i[:, 1] - r) / tile_size).astype(jnp.int32), 0, tiles_y),
+    ], axis=-1)
+    rect_max = jnp.stack([
+        jnp.clip(((m2i[:, 0] + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, tiles_x),
+        jnp.clip(((m2i[:, 1] + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, tiles_y),
+    ], axis=-1)
+
+    keep = det_ok & (depths > 0.2)
+    if valid is not None:
+        keep = keep & valid
+    n_tiles = jnp.where(
+        keep,
+        (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1]), 0)
+    keep = keep & (n_tiles > 0)
+    radii = jnp.where(keep, r, 0.0).astype(jnp.int32)
+    n_tiles = jnp.where(keep, n_tiles, 0).astype(jnp.int32)
+
+    return ProjectedGaussians(means2d=means2d, conics=conics, depths=depths,
+                              radii=radii, rect_min=rect_min, rect_max=rect_max,
+                              n_tiles=n_tiles)
+
+
+def visible_filter(
+    means3d: jnp.ndarray, scales: jnp.ndarray, world_view: jnp.ndarray,
+    full_proj: jnp.ndarray, tanfovx: float, tanfovy: float,
+    width: int, height: int, valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Anchor frustum-cull mask (ref prefilter_voxel,
+    gaussian_renderer/__init__.py:232-287: identity rotation, radius>0 test)."""
+    G = means3d.shape[0]
+    quats = jnp.zeros((G, 4), means3d.dtype).at[:, 0].set(1.0)
+    proj = project_gaussians(means3d, scales, quats, world_view, full_proj,
+                             tanfovx, tanfovy, width, height, valid=valid)
+    return proj.radii > 0

@@ -1,0 +1,279 @@
+"""Pallas TPU kernels: per-tile front-to-back alpha blending, fwd + analytic bwd.
+
+Replaces the CUDA reference's tile rasterizer (forward: renderCUDA; backward:
+back-to-front gradient replay). TPU-first design:
+
+- Grid = one program per 16x16 tile. The tile's 256 pixels live on the
+  *sublane* axis; instances stream through VMEM on the *lane* axis in chunks
+  of C, DMA'd from a component-major [16, B_pad] HBM table at the tile's
+  segment offset. Segments are pre-aligned to C (sorting.py), so every DMA is
+  lane-aligned and chunks never cross tiles — no masking, no overlap.
+- The sequential front-to-back transmittance recurrence is restated as an
+  exclusive prefix sum of log(1-alpha) along the chunk axis, computed with a
+  triangular matmul on the MXU; color accumulation is a [PIX,C]@[C,3] matmul.
+  No atomics, no per-pixel scalar loops.
+- Backward replays chunks front-to-back (not back-to-front like CUDA): the
+  suffix color sum S_i needed for dL/dalpha is recovered from the saved final
+  accumulated color minus an inclusive prefix — forward residuals are just
+  the forward outputs.
+- Per-instance gradients go to disjoint lane segments of a [16, B_pad] HBM
+  buffer, then reach per-gaussian form via the autodiff transpose of the
+  instance gather (an XLA segment-sum).
+
+Component row layout (16 rows): [mean_x, mean_y, conic_a, conic_b, conic_c,
+opacity, r, g, b, pad...]. Gradient rows use the same layout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from contextgs_tpu.ops.rasterize.common import LOG_T_EPS, ALPHA_EPS, MAX_ALPHA
+
+PACK = 16          # instance component rows
+PIX = 256          # pixels per 16x16 tile
+OUTC = 8           # output channels per pixel: rgb, T, logT, pad
+
+
+def _tile_pixel_coords(t, tiles_x: int, tile_size: int):
+    """Pixel centers of tile `t` as ([PIX,1], [PIX,1]) floats (row-major)."""
+    tile_y = t // tiles_x
+    tile_x = t - tile_y * tiles_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tile_x * tile_size + p % tile_size).astype(jnp.float32)
+    py = (tile_y * tile_size + p // tile_size).astype(jnp.float32)
+    return px, py
+
+
+def _cumsum_lanes(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
+    """Prefix sum along the lane (minor) axis via a Hillis-Steele scan of
+    log2(C) roll+add steps — Mosaic has no cumsum primitive and a triangular
+    matmul would burn MXU f32 precision (bf16 passes) on a recurrence whose
+    error compounds across chunks."""
+    c = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    out = x
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(out, shift, axis=len(x.shape) - 1)
+        out = out + jnp.where(lane >= shift, rolled, 0.0)
+        shift *= 2
+    return out - x if strict else out
+
+
+def _chunk_alphas(data, px, py):
+    """Shared fwd/bwd per-chunk alpha evaluation.
+
+    data [PACK,C] component-major → per-(pixel,instance) [PIX,C] arrays.
+    """
+    mx, my = data[0:1, :], data[1:2, :]
+    ca, cb, cc = data[2:3, :], data[3:4, :], data[4:5, :]
+    op = data[5:6, :]
+    dx = mx - px                       # [PIX,C]
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    gauss = jnp.exp(power)
+    raw = op * gauss
+    alpha = jnp.minimum(MAX_ALPHA, raw)
+    live = (power <= 0.0) & (alpha >= ALPHA_EPS)
+    alpha = jnp.where(live, alpha, 0.0)
+    return dict(alpha=alpha, gauss=gauss, raw=raw, dx=dx, dy=dy,
+                ca=ca, cb=cb, cc=cc, op=op)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(bounds_ref, packed_hbm, out_ref, chunk, sem, *,
+                chunk_size: int, tiles_x: int, tile_size: int):
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    px, py = _tile_pixel_coords(t, tiles_x, tile_size)
+    C = chunk_size
+    nchunks = (end - start) // C       # segments are exact multiples of C
+
+    def body(ci, carry):
+        log_t, rgb = carry
+        off = pl.multiple_of(start + ci * C, 128)
+        dma = pltpu.make_async_copy(packed_hbm.at[:, pl.ds(off, C)], chunk, sem)
+        dma.start()
+        dma.wait()
+        ev = _chunk_alphas(chunk[:, :], px, py)
+        alpha = ev["alpha"]
+        log1m = jnp.log1p(-alpha)
+        # early-termination prefix: include i iff log T through i >= LOG_T_EPS
+        cum_incl = _cumsum_lanes(log1m, strict=False)
+        include = (log_t + cum_incl) >= LOG_T_EPS
+        alpha = jnp.where(include, alpha, 0.0)
+        log1m = jnp.log1p(-alpha)
+        cum_excl = _cumsum_lanes(log1m, strict=True)
+        w = alpha * jnp.exp(log_t + cum_excl)                    # [PIX,C]
+        col = chunk[6:9, :]                                      # [3,C]
+        rgb = rgb + jax.lax.dot_general(
+            w, col, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)                  # [PIX,3]
+        log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)    # [PIX,1]
+        return log_t, rgb
+
+    log_t0 = jnp.zeros((PIX, 1), jnp.float32)
+    rgb0 = jnp.zeros((PIX, 3), jnp.float32)
+    log_t, rgb = jax.lax.fori_loop(0, nchunks, body, (log_t0, rgb0))
+
+    out_ref[0, :, 0:3] = rgb
+    out_ref[0, :, 3] = jnp.exp(log_t)[:, 0]
+    out_ref[0, :, 4] = log_t[:, 0]
+    out_ref[0, :, 5:OUTC] = jnp.zeros((PIX, OUTC - 5), jnp.float32)
+
+
+def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
+                         n_tiles: int, tiles_x: int, tile_size: int,
+                         chunk_size: int, interpret: bool) -> jnp.ndarray:
+    """packed [PACK, B_pad] f32, tile_bounds [n_tiles+1] i32 → [n_tiles, PIX, OUTC].
+
+    Output channels: 0-2 accumulated RGB (no background), 3 final T, 4 final logT.
+    """
+    kernel = functools.partial(_fwd_kernel, chunk_size=chunk_size,
+                               tiles_x=tiles_x, tile_size=tile_size)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, PIX, OUTC), lambda i, b: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((PACK, chunk_size), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, PIX, OUTC), jnp.float32),
+        interpret=interpret,
+    )(tile_bounds, packed)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
+                chunk, gchunk, sem_in, sem_out, *,
+                chunk_size: int, tiles_x: int, tile_size: int):
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    px, py = _tile_pixel_coords(t, tiles_x, tile_size)
+    C = chunk_size
+    nchunks = (end - start) // C
+
+    d_rgb = cot_ref[0, :, 0:3]                       # [PIX,3] dL/d accum rgb
+    g_t = cot_ref[0, :, 3:4]                         # [PIX,1] dL/dT_final
+    final_rgb = fwd_ref[0, :, 0:3]                   # [PIX,3]
+    final_t = fwd_ref[0, :, 3:4]                     # [PIX,1]
+    # q_p = (C_total · dL/dC)_p
+    q = jnp.sum(final_rgb * d_rgb, axis=1, keepdims=True)   # [PIX,1]
+
+    def body(ci, carry):
+        log_t, pref_u = carry
+        off = pl.multiple_of(start + ci * C, 128)
+        dma = pltpu.make_async_copy(packed_hbm.at[:, pl.ds(off, C)], chunk, sem_in)
+        dma.start()
+        dma.wait()
+        ev = _chunk_alphas(chunk[:, :], px, py)
+        alpha = ev["alpha"]
+        log1m = jnp.log1p(-alpha)
+        cum_incl = _cumsum_lanes(log1m, strict=False)
+        include = (log_t + cum_incl) >= LOG_T_EPS
+        alpha = jnp.where(include, alpha, 0.0)
+        log1m = jnp.log1p(-alpha)
+        cum_excl = _cumsum_lanes(log1m, strict=True)
+        T_i = jnp.exp(log_t + cum_excl)              # transmittance before i
+        w = alpha * T_i                              # [PIX,C]
+
+        col = chunk[6:9, :]                          # [3,C]
+        u = jnp.dot(d_rgb, col, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)          # [PIX,C]
+        uw = u * w
+        prefix = pref_u + _cumsum_lanes(uw, strict=False)
+        s_dot = q - prefix                           # (S_i · dL/dC) per (p,i)
+        inv_1m = 1.0 / (1.0 - alpha)
+        d_alpha = T_i * u - s_dot * inv_1m - (g_t * final_t) * inv_1m
+
+        active = (alpha > 0.0) & (ev["raw"] < MAX_ALPHA)
+        d_alpha = jnp.where(active, d_alpha, 0.0)
+        d_gauss = d_alpha * ev["op"]
+        d_power = d_gauss * ev["gauss"]
+
+        dx, dy = ev["dx"], ev["dy"]
+        ca, cb, cc = ev["ca"], ev["cb"], ev["cc"]
+        zero_row = jnp.zeros((1, C), jnp.float32)
+        rows = [
+            jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=0, keepdims=True),
+            jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=0, keepdims=True),
+            jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True),
+            jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True),
+            jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True),
+            jnp.sum(d_alpha * ev["gauss"], axis=0, keepdims=True),
+        ]
+        d_col = jax.lax.dot_general(
+            d_rgb, w, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)      # [3,C]
+        gchunk[0:6, :] = jnp.concatenate(rows, axis=0)
+        gchunk[6:9, :] = d_col
+        gchunk[9:PACK, :] = jnp.broadcast_to(zero_row, (PACK - 9, C))
+
+        dma_out = pltpu.make_async_copy(gchunk, grad_hbm.at[:, pl.ds(off, C)],
+                                        sem_out)
+        dma_out.start()
+        dma_out.wait()
+
+        log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
+        pref_u = pref_u + jnp.sum(uw, axis=1, keepdims=True)
+        return log_t, pref_u
+
+    init = (jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
+    jax.lax.fori_loop(0, nchunks, body, init)
+
+
+def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
+                          fwd_out: jnp.ndarray, cotangent: jnp.ndarray,
+                          n_tiles: int, tiles_x: int, tile_size: int,
+                          chunk_size: int, interpret: bool) -> jnp.ndarray:
+    """Per-instance gradient table [PACK, B_pad] (same layout as packed)."""
+    kernel = functools.partial(_bwd_kernel, chunk_size=chunk_size,
+                               tiles_x=tiles_x, tile_size=tile_size)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, PIX, OUTC), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, OUTC), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((PACK, chunk_size), jnp.float32),
+            pltpu.VMEM((PACK, chunk_size), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_bounds, packed, fwd_out, cotangent)
