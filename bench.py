@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: per-chip differentiable-rasterization throughput.
+
+Measures forward+backward Mpix/s of the Pallas tile rasterizer (projection +
+instance sort + blend fwd/bwd — the train-loop hot path, SURVEY.md §3.1) on a
+720p-class frame with a realistic gaussian count, iterations chained inside
+one jit so the result reflects device time rather than tunnel dispatch.
+
+Baseline: BASELINE.json targets "per-chip rasterize throughput (fwd+bwd) ≥
+the CUDA reference on A100". The reference repo publishes no throughput
+number; we use 150 Mpix/s as the A100 CUDA fwd+bwd estimate (3DGS-class
+rasterizers run a ~1 Mpix frame fwd+bwd in 5-10 ms).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_cc"))
+
+import numpy as np
+
+BASELINE_MPIX_S = 150.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from contextgs_tpu.ops.rasterize import rasterize
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        width, height, n_gauss, iters = 1280, 720, 200_000, 10
+        budget, chunk = 1 << 21, 256
+        backend = "pallas"
+    else:  # CPU smoke fallback (reference backend, tiny)
+        width, height, n_gauss, iters = 64, 64, 500, 2
+        budget, chunk = 4096, 128
+        backend = "reference"
+
+    rng = np.random.default_rng(0)
+    means = np.stack([rng.uniform(-3, 3, n_gauss), rng.uniform(-2, 2, n_gauss),
+                      rng.uniform(2.0, 12.0, n_gauss)], 1).astype(np.float32)
+    scales = rng.uniform(0.004, 0.02, (n_gauss, 3)).astype(np.float32)
+    quats = rng.normal(size=(n_gauss, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    colors = rng.uniform(0, 1, (n_gauss, 3)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, n_gauss).astype(np.float32)
+
+    import math
+    from contextgs_tpu.scene.cameras import Camera
+    cam = Camera(uid=0, colmap_id=0, R=np.eye(3), T=np.zeros(3), fov_x=1.2,
+                 fov_y=2 * math.atan(math.tan(0.6) * height / width),
+                 image=None, width=width, height=height)
+    cam_kw = dict(world_view=jnp.asarray(cam.world_view),
+                  full_proj=jnp.asarray(cam.full_proj),
+                  tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+                  width=width, height=height, bg=jnp.zeros(3),
+                  budget=budget, chunk_size=chunk, backend=backend)
+
+    def loss(means, scales, quats, colors, opac):
+        out = rasterize(means, scales, quats, colors, opac, **cam_kw)
+        return jnp.sum(out.image * out.image)
+
+    grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+
+    @jax.jit
+    def bench_n(means, scales, quats, colors, opac):
+        def body(i, m):
+            g = grad(m, scales, quats, colors, opac)[0]
+            return m + 0.0 * g          # chain iterations via data dependency
+        return jax.lax.fori_loop(0, iters, body, means)
+
+    args = tuple(map(jnp.asarray, (means, scales, quats, colors, opac)))
+    out = bench_n(*args)
+    out.block_until_ready()            # compile + warm
+    t0 = time.time()
+    out = bench_n(*args)
+    out.block_until_ready()
+    dt = time.time() - t0
+
+    mpix_s = iters * width * height / dt / 1e6
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_throughput",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

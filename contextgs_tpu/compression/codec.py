@@ -1,0 +1,394 @@
+"""Bitstream encoder/decoder: trained scene → compressed files → scene.
+
+Behavioral spec: /root/reference/scene/gaussian_model.py:1007-1539
+(conduct_encoding / conduct_decoding) and :980-1004 (estimate_final_bits).
+Produces the same artifact set: anchor.npy (raw uint16 codes), hyper.b
+(factorized-prior streams), masks.b (Bernoulli), feat{L}.b / scaling{L}.b /
+offsets{L}.b per level (conditional-gaussian streams, 1000-anchor chunks with
+per-chunk symbol min/max in metadata), meta.pkl and mlp.pkl.
+
+Determinism contract: the per-level μ/σ/Q come from ONE jitted predictor
+(models/context.make_level_predictor) fed identically-shaped arrays on both
+sides, dequantized values are computed in host float32 the same way on both
+sides, and CDF tables are built in host float64 — encode∘decode is exactly
+lossless and the autoregressive context chain is bit-identical.
+
+Differences from the reference worth noting: levels/anchors are coded in slot
+order (the reference follows torch.unique's voxel-key order — same content,
+same size); hyper is coded as per-channel shared-CDF streams over a
+data-derived symbol range (compressai uses learned tail quantiles — same
+losslessness, near-identical rate).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import ndtr
+
+from contextgs_tpu.config import ModelConfig
+from contextgs_tpu.compression import coder
+from contextgs_tpu.models import state as st
+from contextgs_tpu.models.context import make_level_predictor
+from contextgs_tpu.models.entropy import factorized_pmf_table
+from contextgs_tpu.models.levels import build_level_maps
+from contextgs_tpu.models.mlps import count_mlp_params
+from contextgs_tpu.models.quant import ANCHOR_ROUND_DIGITS, CLAMP_STEPS, Q_ANCHOR
+from contextgs_tpu.utils.checkpoint import load_pytree, save_pytree
+
+CHUNK = 1000          # anchors per entropy-coding chunk (ref MAX_batch_size)
+
+
+class DecodedScene(NamedTuple):
+    """Compacted decoded arrays (the reference's decoded_version state)."""
+
+    anchor: np.ndarray     # [N,3] dequantized
+    feat: np.ndarray       # [N,F]
+    scaling: np.ndarray    # [N,6] linear (NOT log)
+    offsets: np.ndarray    # [N,K,3]
+    masks: np.ndarray      # [N,K] {0,1}
+    hyper: np.ndarray      # [N,Fh]
+    mlps: object           # DecoderMLPs
+    prior: object
+    level_scales: list
+    voxel_size: float
+
+
+def _dequantize_anchor_np(codes: np.ndarray, bmin: np.ndarray,
+                          bmax: np.ndarray) -> np.ndarray:
+    interval = ((bmax - bmin) * Q_ANCHOR + 1e-6).astype(np.float32)
+    return (codes.astype(np.float32) * interval + bmin.astype(np.float32))
+
+
+def _gaussian_cdf_rows(mean: np.ndarray, scale: np.ndarray, q: np.ndarray,
+                       lo: int, hi: int) -> np.ndarray:
+    """Float64 CDF rows over symbols lo..hi: bin edges at (s±0.5)·Q."""
+    edges = (np.arange(lo, hi + 2, dtype=np.float64) - 0.5)[None, :]
+    z = (edges * q[:, None] - mean[:, None]) / np.maximum(scale, 1e-9)[:, None]
+    c = ndtr(z)
+    c = (c - c[:, :1]) / np.maximum(c[:, -1:] - c[:, :1], 1e-12)
+    return np.clip(c, 0.0, 1.0)
+
+
+def _symbols(x: np.ndarray, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """STE-clamped symbols and dequantized float32 values (shared by both
+    sides; ref STE_multistep + encoder_gaussian, encodings.py:83-115,203-216)."""
+    x = np.clip(x, -CLAMP_STEPS * q, CLAMP_STEPS * q)
+    s = np.round(x.astype(np.float64) / q).astype(np.int64)
+    deq = (s.astype(np.float32) * q.astype(np.float32))
+    return s, deq
+
+
+def _code_stream(x, mean, scale, q):
+    """Encode one flat stream → (bytes, min_sym, max_sym, dequantized)."""
+    sym, deq = _symbols(x, q)
+    if sym.size == 0:
+        return b"", 0, 0, deq
+    lo, hi = int(sym.min()), int(sym.max())
+    rows = coder.quantize_cdf(_gaussian_cdf_rows(mean, scale, q, lo, hi))
+    data = coder.encode(rows, (sym - lo).astype(np.int32))
+    return data, lo, hi, deq
+
+
+def _decode_stream(data, mean, scale, q, lo, hi):
+    n = mean.shape[0]
+    if n == 0:
+        return np.zeros(0, np.float32)
+    rows = coder.quantize_cdf(_gaussian_cdf_rows(mean, scale, q, lo, hi))
+    sym = coder.decode(rows, data).astype(np.int64) + lo
+    return sym.astype(np.float32) * q.astype(np.float32)
+
+
+def _ep_host(ep, idx):
+    """EntropyParams → host numpy, gathered at idx, Q broadcast per column."""
+    def g(a):
+        return np.asarray(a)[idx]
+    return dict(
+        mean_feat=g(ep.mean_feat), scale_feat=g(ep.scale_feat),
+        q_feat=g(ep.q_feat), mean_scaling=g(ep.mean_scaling),
+        scale_scaling=g(ep.scale_scaling), q_scaling=g(ep.q_scaling),
+        mean_offsets=g(ep.mean_offsets), scale_offsets=g(ep.scale_offsets),
+        q_offsets=g(ep.q_offsets))
+
+
+def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
+                 level_scales: list, voxel_size: float, out_dir: str,
+                 disable_hyper: bool = False, return_states: bool = False):
+    """conduct_encoding equivalent. Returns a size breakdown in bits
+    (plus the encoder-side dequantized states when return_states, for the
+    round-trip bit-exactness tests)."""
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+
+    keep = np.asarray(st.get_mask_anchor(params, buffers.alive))
+    idx_keep = np.where(keep)[0]
+    n = len(idx_keep)
+
+    bmin = np.asarray(buffers.bound_min)
+    bmax = np.asarray(buffers.bound_max)
+
+    # --- anchors: 16-bit codes, stored raw (ref :1097-1101) ---
+    anchors_raw = np.asarray(params.anchor)[idx_keep]
+    interval = (bmax - bmin) * Q_ANCHOR + 1e-6
+    codes = np.clip(np.floor((anchors_raw - bmin) / interval), 0,
+                    2 ** ANCHOR_ROUND_DIGITS - 1).astype(np.uint16)
+    np.save(os.path.join(out_dir, "anchor.npy"), codes)
+    anchor_q_np = _dequantize_anchor_np(codes, bmin, bmax)
+
+    # --- hyper latent: factorized prior, per-channel streams (ref :1082-1109) ---
+    hyper = np.asarray(params.hyper_latent)[idx_keep]
+    hyper_sym = np.round(hyper).astype(np.int32)
+    if disable_hyper:
+        hyper_sym = np.zeros_like(hyper_sym)
+    h_lo = int(hyper_sym.min()) - 1 if n else 0
+    h_hi = int(hyper_sym.max()) + 1 if n else 0
+    pmf = np.asarray(factorized_pmf_table(params.prior, h_lo, h_hi),
+                     np.float64)                    # [C,S]
+    cdf = np.concatenate([np.zeros((pmf.shape[0], 1)), np.cumsum(pmf, axis=1)],
+                         axis=1)
+    cdf /= np.maximum(cdf[:, -1:], 1e-12)
+    hyper_rows = coder.quantize_cdf(np.clip(cdf, 0, 1))
+    hyper_streams = []
+    for c in range(hyper.shape[1]):
+        hyper_streams.append(coder.encode_shared(
+            hyper_rows[c], hyper_sym[:, c] - h_lo))
+    with open(os.path.join(out_dir, "hyper.b"), "wb") as f:
+        f.write(b"".join(hyper_streams))
+    hyper_deq = hyper_sym.astype(np.float32)
+
+    # --- masks: Bernoulli stream (ref :1265-1269) ---
+    masks = np.asarray(st.get_mask(params))[idx_keep]          # [N,K]
+    mask_bits = masks.reshape(-1).astype(np.int32)
+    p1 = float(np.clip(mask_bits.mean() if mask_bits.size else 0.5,
+                       1e-6, 1 - 1e-6))
+    mask_row = coder.quantize_cdf(np.array([0.0, 1 - p1, 1.0]))
+    mask_stream = coder.encode_shared(mask_row, mask_bits)
+    with open(os.path.join(out_dir, "masks.b"), "wb") as f:
+        f.write(mask_stream)
+
+    # --- level structure on decoded anchors ---
+    anchor_q = jnp.asarray(anchor_q_np)
+    alive = jnp.ones((n,), bool)
+    maps = jax.jit(lambda a: build_level_maps(
+        a, alive, voxel_size, tuple(level_scales), cfg.level_num))(anchor_q)
+    level = np.asarray(maps.level)
+    parent = maps.parent
+
+    predictor = make_level_predictor(cfg)
+    hyper_ctx = jnp.asarray(hyper_deq * (0.0 if disable_hyper else 1.0))
+    feat_state = jnp.zeros((n, cfg.feat_dim), jnp.float32)
+    scaling_state = jnp.zeros((n, 6), jnp.float32)
+
+    feat_np = np.asarray(params.anchor_feat)[idx_keep]
+    scaling_np = np.exp(np.asarray(params.scaling_log)[idx_keep])
+    offsets_np = np.asarray(params.offsets)[idx_keep].reshape(n, -1)
+
+    meta_levels = []
+    bits = dict(anchor=n * 3 * 16, hyper=sum(len(s) for s in hyper_streams) * 8,
+                masks=len(mask_stream) * 8, feat=0, scaling=0, offsets=0)
+    offsets_q_np = np.zeros_like(offsets_np)
+
+    for li in reversed(range(cfg.level_num)):
+        ep = predictor(params, li, anchor_q, feat_state, scaling_state,
+                       parent, hyper_ctx)
+        idx = np.where(level == li)[0]
+        eph = _ep_host(ep, idx)
+        chunks = []
+        streams = {"feat": [], "scaling": [], "offsets": []}
+        feat_deq_level = np.zeros((len(idx), cfg.feat_dim), np.float32)
+        scaling_deq_level = np.zeros((len(idx), 6), np.float32)
+        for s0 in range(0, len(idx), CHUNK):
+            sl = slice(s0, min(s0 + CHUNK, len(idx)))
+            rows = idx[sl]
+            nn = len(rows)
+            qf = np.repeat(eph["q_feat"][sl], cfg.feat_dim, axis=1).reshape(-1)
+            qs = np.repeat(eph["q_scaling"][sl], 6, axis=1).reshape(-1)
+            qo = np.repeat(eph["q_offsets"][sl], 3 * cfg.n_offsets,
+                           axis=1).reshape(-1)
+            d_f, lo_f, hi_f, deq_f = _code_stream(
+                feat_np[rows].reshape(-1), eph["mean_feat"][sl].reshape(-1),
+                eph["scale_feat"][sl].reshape(-1), qf)
+            d_s, lo_s, hi_s, deq_s = _code_stream(
+                scaling_np[rows].reshape(-1),
+                eph["mean_scaling"][sl].reshape(-1),
+                eph["scale_scaling"][sl].reshape(-1), qs)
+            m3 = np.repeat(masks[rows], 3, axis=1).reshape(-1).astype(bool)
+            d_o, lo_o, hi_o, deq_o = _code_stream(
+                offsets_np[rows].reshape(-1)[m3],
+                eph["mean_offsets"][sl].reshape(-1)[m3],
+                eph["scale_offsets"][sl].reshape(-1)[m3], qo[m3])
+            streams["feat"].append(d_f)
+            streams["scaling"].append(d_s)
+            streams["offsets"].append(d_o)
+            chunks.append(dict(n=nn, feat=(len(d_f), lo_f, hi_f),
+                               scaling=(len(d_s), lo_s, hi_s),
+                               offsets=(len(d_o), lo_o, hi_o)))
+            feat_deq_level[sl] = deq_f.reshape(nn, cfg.feat_dim)
+            scaling_deq_level[sl] = deq_s.reshape(nn, 6)
+            off_full = np.zeros(nn * 3 * cfg.n_offsets, np.float32)
+            off_full[m3] = deq_o
+            offsets_q_np[rows] = off_full.reshape(nn, -1)
+        for name in streams:
+            with open(os.path.join(out_dir, f"{name}{li}.b"), "wb") as f:
+                f.write(b"".join(streams[name]))
+            bits[name] += sum(len(b) for b in streams[name]) * 8
+        meta_levels.append(dict(level=li, count=len(idx), chunks=chunks))
+        feat_state = feat_state.at[jnp.asarray(idx)].set(
+            jnp.asarray(feat_deq_level))
+        scaling_state = scaling_state.at[jnp.asarray(idx)].set(
+            jnp.asarray(scaling_deq_level))
+
+    mlp_bits = (count_mlp_params(params.mlps)
+                + sum(x.size for x in jax.tree.leaves(params.prior))) * 32
+    meta = dict(n=n, chunk=CHUNK, levels=meta_levels,
+                hyper_range=(h_lo, h_hi),
+                hyper_lens=[len(s) for s in hyper_streams],
+                prob_masks=p1, bound_min=bmin, bound_max=bmax,
+                level_scales=list(level_scales), voxel_size=voxel_size,
+                disable_hyper=disable_hyper)
+    with open(os.path.join(out_dir, "meta.pkl"), "wb") as f:
+        pickle.dump(meta, f)
+    save_pytree(os.path.join(out_dir, "mlp.pkl"),
+                dict(mlps=params.mlps, prior=params.prior))
+    bits["meta"] = os.path.getsize(os.path.join(out_dir, "meta.pkl")) * 8
+    bits["mlp"] = mlp_bits
+    bits["total"] = sum(bits.values())
+    bits["time_s"] = time.time() - t0
+    if return_states:
+        states = dict(anchor=anchor_q_np, feat=np.asarray(feat_state),
+                      scaling=np.asarray(scaling_state),
+                      offsets=offsets_q_np.reshape(n, cfg.n_offsets, 3),
+                      masks=masks, hyper=hyper_deq, level=level)
+        return bits, states
+    return bits
+
+
+def decode_scene(out_dir: str, cfg: ModelConfig, mlps_like=None,
+                 prior_like=None) -> DecodedScene:
+    """conduct_decoding equivalent: files → compacted decoded arrays."""
+    with open(os.path.join(out_dir, "meta.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    n = meta["n"]
+    from contextgs_tpu.models.mlps import init_decoder_mlps
+    from contextgs_tpu.models.entropy import init_factorized_prior
+    like = dict(mlps=mlps_like or init_decoder_mlps(jax.random.PRNGKey(0), cfg),
+                prior=prior_like or init_factorized_prior(
+                    jax.random.PRNGKey(0), cfg.hyper_dim))
+    nets = load_pytree(os.path.join(out_dir, "mlp.pkl"), like)
+    mlps, prior = nets["mlps"], nets["prior"]
+
+    codes = np.load(os.path.join(out_dir, "anchor.npy"))
+    anchor_np = _dequantize_anchor_np(codes, meta["bound_min"],
+                                      meta["bound_max"])
+
+    # hyper
+    h_lo, h_hi = meta["hyper_range"]
+    pmf = np.asarray(factorized_pmf_table(prior, h_lo, h_hi), np.float64)
+    cdf = np.concatenate([np.zeros((pmf.shape[0], 1)), np.cumsum(pmf, axis=1)],
+                         axis=1)
+    cdf /= np.maximum(cdf[:, -1:], 1e-12)
+    hyper_rows = coder.quantize_cdf(np.clip(cdf, 0, 1))
+    with open(os.path.join(out_dir, "hyper.b"), "rb") as f:
+        hyper_all = f.read()
+    hyper_sym = np.zeros((n, cfg.hyper_dim), np.int32)
+    pos = 0
+    for c, ln in enumerate(meta["hyper_lens"]):
+        hyper_sym[:, c] = coder.decode_shared(
+            hyper_rows[c], n, hyper_all[pos:pos + ln]) + h_lo
+        pos += ln
+    assert pos == len(hyper_all), "hyper stream not fully consumed"
+    hyper = hyper_sym.astype(np.float32)
+
+    # masks
+    p1 = meta["prob_masks"]
+    mask_row = coder.quantize_cdf(np.array([0.0, 1 - p1, 1.0]))
+    with open(os.path.join(out_dir, "masks.b"), "rb") as f:
+        masks = coder.decode_shared(mask_row, n * cfg.n_offsets, f.read())
+    masks = masks.reshape(n, cfg.n_offsets).astype(np.float32)
+
+    # levels on decoded anchors — identical computation to the encoder
+    anchor_q = jnp.asarray(anchor_np)
+    alive = jnp.ones((n,), bool)
+    maps = jax.jit(lambda a: build_level_maps(
+        a, alive, meta["voxel_size"], tuple(meta["level_scales"]),
+        cfg.level_num))(anchor_q)
+    level = np.asarray(maps.level)
+    parent = maps.parent
+
+    class _P(NamedTuple):
+        mlps: object
+    params_like = _P(mlps=mlps)
+
+    predictor = make_level_predictor(cfg)
+    hyper_ctx = jnp.asarray(hyper * (0.0 if meta["disable_hyper"] else 1.0))
+    feat_state = jnp.zeros((n, cfg.feat_dim), jnp.float32)
+    scaling_state = jnp.zeros((n, 6), jnp.float32)
+    feat_out = np.zeros((n, cfg.feat_dim), np.float32)
+    scaling_out = np.zeros((n, 6), np.float32)
+    offsets_out = np.zeros((n, 3 * cfg.n_offsets), np.float32)
+
+    data = {}
+    for li in range(cfg.level_num):
+        for name in ("feat", "scaling", "offsets"):
+            with open(os.path.join(out_dir, f"{name}{li}.b"), "rb") as f:
+                data[(name, li)] = f.read()
+
+    for entry in sorted((e for e in meta["levels"]), key=lambda e: -e["level"]):
+        li = entry["level"]
+        ep = predictor(params_like, li, anchor_q, feat_state, scaling_state,
+                       parent, hyper_ctx)
+        idx = np.where(level == li)[0]
+        assert len(idx) == entry["count"], \
+            f"level {li}: {len(idx)} anchors vs encoded {entry['count']}"
+        eph = _ep_host(ep, idx)
+        pos = {"feat": 0, "scaling": 0, "offsets": 0}
+        for ci, ch in enumerate(entry["chunks"]):
+            s0 = ci * meta["chunk"]
+            sl = slice(s0, s0 + ch["n"])
+            rows = idx[sl]
+            qf = np.repeat(eph["q_feat"][sl], cfg.feat_dim, axis=1).reshape(-1)
+            qs = np.repeat(eph["q_scaling"][sl], 6, axis=1).reshape(-1)
+            qo = np.repeat(eph["q_offsets"][sl], 3 * cfg.n_offsets,
+                           axis=1).reshape(-1)
+            ln, lo, hi = ch["feat"]
+            feat_out[rows] = _decode_stream(
+                data[("feat", li)][pos["feat"]:pos["feat"] + ln],
+                eph["mean_feat"][sl].reshape(-1),
+                eph["scale_feat"][sl].reshape(-1), qf, lo, hi
+            ).reshape(ch["n"], cfg.feat_dim)
+            pos["feat"] += ln
+            ln, lo, hi = ch["scaling"]
+            scaling_out[rows] = _decode_stream(
+                data[("scaling", li)][pos["scaling"]:pos["scaling"] + ln],
+                eph["mean_scaling"][sl].reshape(-1),
+                eph["scale_scaling"][sl].reshape(-1), qs, lo, hi
+            ).reshape(ch["n"], 6)
+            pos["scaling"] += ln
+            m3 = np.repeat(masks[rows], 3, axis=1).reshape(-1).astype(bool)
+            ln, lo, hi = ch["offsets"]
+            off = np.zeros(ch["n"] * 3 * cfg.n_offsets, np.float32)
+            off[m3] = _decode_stream(
+                data[("offsets", li)][pos["offsets"]:pos["offsets"] + ln],
+                eph["mean_offsets"][sl].reshape(-1)[m3],
+                eph["scale_offsets"][sl].reshape(-1)[m3], qo[m3], lo, hi)
+            offsets_out[rows] = off.reshape(ch["n"], -1)
+            pos["offsets"] += ln
+        for name in ("feat", "scaling", "offsets"):
+            assert pos[name] == len(data[(name, li)]), \
+                f"{name}{li} stream not fully consumed"
+        feat_state = feat_state.at[jnp.asarray(idx)].set(
+            jnp.asarray(feat_out[idx]))
+        scaling_state = scaling_state.at[jnp.asarray(idx)].set(
+            jnp.asarray(scaling_out[idx]))
+
+    return DecodedScene(
+        anchor=anchor_np, feat=feat_out, scaling=scaling_out,
+        offsets=offsets_out.reshape(n, cfg.n_offsets, 3), masks=masks,
+        hyper=hyper, mlps=mlps, prior=prior,
+        level_scales=meta["level_scales"], voxel_size=meta["voxel_size"])

@@ -1,0 +1,146 @@
+"""Evaluation: render camera sets, compute metrics, write results.json.
+
+Behavioral spec: /root/reference/train.py:409-569 (render_set / render_sets /
+evaluate — duplicated nearly verbatim in test.py and decompress.py there):
+per-view renders + error maps as PNGs, PSNR/SSIM(/LPIPS when weights exist),
+results.json and per_view.json, FPS with warmup discard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contextgs_tpu.config import TrainConfig
+from contextgs_tpu.compression.codec import DecodedScene
+from contextgs_tpu.models.decode import decode_neural_gaussians
+from contextgs_tpu.ops import rasterize as rz
+from contextgs_tpu.ops.ssim import psnr as psnr_fn, ssim as ssim_fn
+
+
+class _DecodedParams(NamedTuple):
+    """Minimal params view for decoded-scene rendering (mlps only)."""
+
+    mlps: object
+
+
+def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
+                          height: int, budget: int = 1 << 18):
+    """Jitted renderer over a decoded (compacted) scene — the reference's
+    decoded_version path (gaussian_renderer/__init__.py:103-104)."""
+    mcfg, pipe = cfg.model, cfg.pipe
+    params = _DecodedParams(mlps=dec.mlps)
+    anchor = jnp.asarray(dec.anchor)
+    feat = jnp.asarray(dec.feat)
+    scaling = jnp.asarray(dec.scaling)
+    offsets = jnp.asarray(dec.offsets)
+    masks = jnp.asarray(dec.masks)
+    n = anchor.shape[0]
+    backend = pipe.backend if pipe.backend != "auto" else "pallas"
+
+    @jax.jit
+    def run(cam: dict, bg: jnp.ndarray):
+        vis = rz.visible_filter(anchor, scaling[:, :3], cam["world_view"],
+                                cam["full_proj"], cam["tanfovx"],
+                                cam["tanfovy"], width, height)
+        ng = decode_neural_gaussians(
+            params, None, mcfg, cam["camera_center"], vis, feat=feat,
+            grid_scaling=scaling, grid_offsets=offsets, anchor=anchor,
+            binary_mask=masks)
+        out = rz.rasterize(ng.xyz, ng.scaling, ng.rot, ng.color, ng.opacity,
+                           world_view=cam["world_view"],
+                           full_proj=cam["full_proj"],
+                           tanfovx=cam["tanfovx"], tanfovy=cam["tanfovy"],
+                           width=width, height=height, bg=bg,
+                           tile_size=pipe.tile_size, budget=budget,
+                           chunk_size=pipe.chunk_size, backend=backend,
+                           valid=ng.gauss_valid)
+        return out.image
+
+    return run
+
+
+def lpips_available() -> bool:
+    return False  # no pretrained VGG weights in this environment (no egress)
+
+
+def evaluate_images(renders: list, gts: list) -> dict:
+    """PSNR/SSIM(/LPIPS) over [3,H,W] float arrays (ref train.py:502-569)."""
+    psnrs, ssims = [], []
+    jssim = jax.jit(ssim_fn)
+    jpsnr = jax.jit(psnr_fn)
+    for r, g in zip(renders, gts):
+        r = jnp.clip(jnp.asarray(r), 0, 1)
+        g = jnp.asarray(g)
+        psnrs.append(float(jpsnr(r, g)))
+        ssims.append(float(jssim(r, g)))
+    out = dict(PSNR=float(np.mean(psnrs)), SSIM=float(np.mean(ssims)),
+               per_view=dict(PSNR=psnrs, SSIM=ssims))
+    if lpips_available():
+        pass  # gated: no pretrained weights offline
+    else:
+        out["LPIPS"] = None
+    return out
+
+
+def render_set(render_fn, cameras, bg, out_dir: Optional[str] = None,
+               save_images: bool = True) -> tuple[list, list, float]:
+    """Render all cameras; returns (renders, gts, fps). First 5 frames are
+    warmup-discarded for FPS like the reference (train.py:409-414)."""
+    renders, gts = [], []
+    times = []
+    for i, cam in enumerate(cameras):
+        cd = {k: jnp.asarray(v) for k, v in cam.as_device_dict().items()}
+        t0 = time.time()
+        img = render_fn(cd, bg)
+        img.block_until_ready()
+        times.append(time.time() - t0)
+        renders.append(np.asarray(img))
+        gts.append(np.transpose(cam.image, (2, 0, 1)))
+    fps = len(times[5:]) / max(sum(times[5:]), 1e-9) if len(times) > 5 else \
+        len(times) / max(sum(times), 1e-9)
+    if out_dir and save_images:
+        os.makedirs(os.path.join(out_dir, "renders"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "gt"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "errors"), exist_ok=True)
+        try:
+            from PIL import Image
+            for i, (r, g) in enumerate(zip(renders, gts)):
+                def to_img(x):
+                    return Image.fromarray(
+                        (np.clip(x, 0, 1).transpose(1, 2, 0) * 255)
+                        .astype(np.uint8))
+                to_img(r).save(os.path.join(out_dir, "renders", f"{i:05d}.png"))
+                to_img(g).save(os.path.join(out_dir, "gt", f"{i:05d}.png"))
+                to_img(np.abs(r - g)).save(
+                    os.path.join(out_dir, "errors", f"{i:05d}.png"))
+        except ImportError:
+            pass
+    return renders, gts, fps
+
+
+def write_results(model_path: str, name: str, metrics: dict, size_bits=None,
+                  fps: float = 0.0) -> None:
+    os.makedirs(model_path, exist_ok=True)
+    results_file = os.path.join(model_path, "results.json")
+    existing = {}
+    if os.path.exists(results_file):
+        with open(results_file) as f:
+            existing = json.load(f)
+    entry = {"PSNR": metrics["PSNR"], "SSIM": metrics["SSIM"],
+             "LPIPS": metrics.get("LPIPS"), "FPS": fps}
+    if size_bits is not None:
+        entry["size_MB"] = size_bits.get("total", 0) / 8 / 1024 / 1024
+        entry["size_breakdown_bits"] = {
+            k: v for k, v in size_bits.items() if isinstance(v, (int, float))}
+    existing[name] = entry
+    with open(results_file, "w") as f:
+        json.dump(existing, f, indent=2)
+    with open(os.path.join(model_path, "per_view.json"), "w") as f:
+        json.dump({name: metrics.get("per_view", {})}, f, indent=2)

@@ -43,26 +43,27 @@ def _float0_like(x):
     return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _blend_pallas(packed, tile_bounds,
                   n_tiles: int, tiles_x: int, tile_size: int, chunk_size: int,
-                  interpret: bool):
+                  interpret: bool, row_offset: int):
     return blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
-                                tile_size, chunk_size, interpret)
+                                tile_size, chunk_size, interpret, row_offset)
 
 
 def _blend_fwd(packed, tile_bounds, n_tiles, tiles_x, tile_size,
-               chunk_size, interpret):
+               chunk_size, interpret, row_offset):
     out = blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
-                               tile_size, chunk_size, interpret)
+                               tile_size, chunk_size, interpret, row_offset)
     return out, (packed, tile_bounds, out)
 
 
-def _blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
+def _blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret, row_offset,
                residuals, cot):
     packed, tile_bounds, out = residuals
     grads = blend_backward_pallas(packed, tile_bounds, out, cot, n_tiles,
-                                  tiles_x, tile_size, chunk_size, interpret)
+                                  tiles_x, tile_size, chunk_size, interpret,
+                                  row_offset)
     # slots past the last segment are never written by any tile program —
     # mask the uninitialized tail before the gather-transpose scatter-add
     in_use = jnp.arange(packed.shape[1]) < tile_bounds[-1]
@@ -95,21 +96,28 @@ def rasterize(
     valid: jnp.ndarray | None = None,
     scale_modifier: float = 1.0,
     screen_dummy: jnp.ndarray | None = None,
+    tile_band: tuple | None = None,
 ) -> RasterOutput:
     """Differentiable tile rasterization of 3D gaussians.
 
     width/height/tile_size/budget/chunk_size/backend are static.
-    `valid` force-culls padded gaussian slots.
+    `valid` force-culls padded gaussian slots. With `tile_band=(row0, n_rows)`
+    only that horizontal band of tiles is rasterized and `image`/`final_t`
+    cover just the band's pixel rows (multi-chip tile sharding).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tiles_x = (width + tile_size - 1) // tile_size
     tiles_y = (height + tile_size - 1) // tile_size
-    n_tiles = tiles_x * tiles_y
+    row0 = 0 if tile_band is None else tile_band[0]
+    band_rows = tiles_y if tile_band is None else min(
+        tile_band[1], max(tiles_y - row0, 0))
+    n_tiles = tiles_x * band_rows
 
     proj = project_gaussians(means3d, scales, quats, world_view, full_proj,
                              tanfovx, tanfovy, width, height, tile_size,
-                             scale_modifier, valid=valid)
+                             scale_modifier, valid=valid,
+                             tile_band=tile_band)
     if screen_dummy is not None:
         # densification-statistics hook (ref gaussian_renderer/__init__.py:168-173):
         # caller passes zeros and reads the cotangent; the 0.5·W/0.5·H factors
@@ -117,11 +125,15 @@ def rasterize(
         # densify_grad_threshold transfers unchanged.
         ndc_scale = jnp.array([0.5 * width, 0.5 * height], means3d.dtype)
         proj = proj._replace(means2d=proj.means2d + screen_dummy * ndc_scale)
-    inst = expand_and_sort(proj, tiles_x, tiles_y, budget, align=chunk_size)
+    inst = expand_and_sort(proj, tiles_x, band_rows, budget, align=chunk_size,
+                           tile_row_offset=row0)
 
+    band_h = min(height - row0 * tile_size, band_rows * tile_size)
     if backend == "reference":
         img, final_t = blend_reference(proj, inst, colors, opacities,
-                                       width, height, tile_size, bg=None)
+                                       width, height, tile_size, bg=None,
+                                       tile_row_offset=row0,
+                                       band_height=band_h)
     else:
         g = inst.gauss_ids
         # pad slots (valid=False) are neutralized via zero opacity
@@ -136,13 +148,13 @@ def rasterize(
             packed,
             jnp.zeros((PACK - 9, packed.shape[1]), packed.dtype)], axis=0)
         tiles = _blend_pallas(packed, inst.tile_bounds, n_tiles, tiles_x,
-                              tile_size, chunk_size, interpret)
-        # [n_tiles, 256, 8] → [8, H, W]
-        full = tiles.reshape(tiles_y, tiles_x, tile_size, tile_size, 8)
+                              tile_size, chunk_size, interpret, row0)
+        # [n_tiles, 256, 8] → [8, band_h, W]
+        full = tiles.reshape(band_rows, tiles_x, tile_size, tile_size, 8)
         full = full.transpose(4, 0, 2, 1, 3).reshape(
-            8, tiles_y * tile_size, tiles_x * tile_size)
-        img = full[0:3, :height, :width]
-        final_t = full[3, :height, :width]
+            8, band_rows * tile_size, tiles_x * tile_size)
+        img = full[0:3, :band_h, :width]
+        final_t = full[3, :band_h, :width]
 
     image = img + final_t[None] * bg[:, None, None]
     return RasterOutput(image=image, final_t=final_t, radii=proj.radii,

@@ -63,6 +63,9 @@ def project_gaussians(
     tile_size: int = 16,
     scale_modifier: float = 1.0,
     valid: jnp.ndarray | None = None,   # [G] bool; False → force-cull
+    tile_band: tuple | None = None,     # (row0, n_rows): clamp rects to a
+                                        # horizontal tile band (multi-chip
+                                        # tile sharding)
 ) -> ProjectedGaussians:
     """EWA-project all gaussians to screen space.
 
@@ -121,15 +124,19 @@ def project_gaussians(
     # --- tile rect (getRect semantics: min inclusive, max exclusive) ---
     tiles_x = (width + tile_size - 1) // tile_size
     tiles_y = (height + tile_size - 1) // tile_size
+    row_lo, row_hi = 0, tiles_y
+    if tile_band is not None:
+        row_lo = tile_band[0]
+        row_hi = min(tile_band[0] + tile_band[1], tiles_y)
     m2i = jax.lax.stop_gradient(means2d)
     r = jax.lax.stop_gradient(radius_f)
     rect_min = jnp.stack([
         jnp.clip(((m2i[:, 0] - r) / tile_size).astype(jnp.int32), 0, tiles_x),
-        jnp.clip(((m2i[:, 1] - r) / tile_size).astype(jnp.int32), 0, tiles_y),
+        jnp.clip(((m2i[:, 1] - r) / tile_size).astype(jnp.int32), row_lo, row_hi),
     ], axis=-1)
     rect_max = jnp.stack([
         jnp.clip(((m2i[:, 0] + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, tiles_x),
-        jnp.clip(((m2i[:, 1] + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, tiles_y),
+        jnp.clip(((m2i[:, 1] + r + tile_size - 1) / tile_size).astype(jnp.int32), row_lo, row_hi),
     ], axis=-1)
 
     keep = det_ok & (depths > 0.2)

@@ -28,9 +28,15 @@ def blend_reference(
     height: int,
     tile_size: int = 16,
     bg: jnp.ndarray | None = None,
+    tile_row_offset: int = 0,
+    band_height: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (image [3,H,W], final transmittance [H,W])."""
+    """Returns (image [3,H,W], final transmittance [H,W]); with a tile band,
+    H is the band height and pixel rows start at tile_row_offset·tile_size."""
     tiles_x = (width + tile_size - 1) // tile_size
+    y0 = tile_row_offset * tile_size
+    if band_height is None:
+        band_height = height - y0
 
     g = inst.gauss_ids                                     # [B]
     mean2d = proj.means2d[g]                               # [B,2]
@@ -39,9 +45,9 @@ def blend_reference(
     opac = opacities[g]                                    # [B]
 
     px = jnp.arange(width, dtype=jnp.float32)
-    py = jnp.arange(height, dtype=jnp.float32)
+    py = jnp.arange(y0, y0 + band_height, dtype=jnp.float32)
     PX, PY = jnp.meshgrid(px, py, indexing="xy")           # [H,W]
-    pix_tile = ((PY.astype(jnp.int32) // tile_size) * tiles_x
+    pix_tile = ((PY.astype(jnp.int32) // tile_size - tile_row_offset) * tiles_x
                 + PX.astype(jnp.int32) // tile_size)       # [H,W]
 
     dx = mean2d[:, 0, None, None] - PX[None]               # [B,H,W]

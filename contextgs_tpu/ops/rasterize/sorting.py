@@ -46,8 +46,12 @@ def padded_size(budget: int, n_tiles: int, align: int) -> int:
 
 
 def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
-                    budget: int, align: int = 256) -> TileInstances:
-    """Build the sorted, segment-aligned tile-instance table (static shapes)."""
+                    budget: int, align: int = 256,
+                    tile_row_offset: int = 0) -> TileInstances:
+    """Build the sorted, segment-aligned tile-instance table (static shapes).
+
+    With `tile_row_offset`, tile ids are local to a horizontal band starting
+    at that tile row (rects must already be band-clamped by the projection)."""
     n_tiles = tiles_x * tiles_y
     counts = proj.n_tiles.astype(jnp.int32)                    # [G]
     offsets = jnp.cumsum(counts) - counts                      # exclusive prefix sum
@@ -64,7 +68,8 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     rect_w = jnp.maximum(proj.rect_max[g, 0] - proj.rect_min[g, 0], 1)
     ty = k // rect_w
     tx = k - ty * rect_w
-    tile = ((proj.rect_min[g, 1] + ty) * tiles_x + proj.rect_min[g, 0] + tx)
+    tile = ((proj.rect_min[g, 1] + ty - tile_row_offset) * tiles_x
+            + proj.rect_min[g, 0] + tx)
     tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
     depth = jnp.where(valid, proj.depths[g], jnp.inf).astype(jnp.float32)
 

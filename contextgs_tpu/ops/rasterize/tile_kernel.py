@@ -40,10 +40,10 @@ PIX = 256          # pixels per 16x16 tile
 OUTC = 8           # output channels per pixel: rgb, T, logT, pad
 
 
-def _tile_pixel_coords(t, tiles_x: int, tile_size: int):
+def _tile_pixel_coords(t, tiles_x: int, tile_size: int, row_offset: int = 0):
     """Pixel centers of tile `t` as ([PIX,1], [PIX,1]) floats (row-major)."""
-    tile_y = t // tiles_x
-    tile_x = t - tile_y * tiles_x
+    tile_y = t // tiles_x + row_offset
+    tile_x = t - (t // tiles_x) * tiles_x
     p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
     px = (tile_x * tile_size + p % tile_size).astype(jnp.float32)
     py = (tile_y * tile_size + p // tile_size).astype(jnp.float32)
@@ -91,11 +91,12 @@ def _chunk_alphas(data, px, py):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(bounds_ref, packed_hbm, out_ref, chunk, sem, *,
-                chunk_size: int, tiles_x: int, tile_size: int):
+                chunk_size: int, tiles_x: int, tile_size: int,
+                row_offset: int):
     t = pl.program_id(0)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
-    px, py = _tile_pixel_coords(t, tiles_x, tile_size)
+    px, py = _tile_pixel_coords(t, tiles_x, tile_size, row_offset)
     C = chunk_size
     nchunks = (end - start) // C       # segments are exact multiples of C
 
@@ -135,13 +136,15 @@ def _fwd_kernel(bounds_ref, packed_hbm, out_ref, chunk, sem, *,
 
 def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
                          n_tiles: int, tiles_x: int, tile_size: int,
-                         chunk_size: int, interpret: bool) -> jnp.ndarray:
+                         chunk_size: int, interpret: bool,
+                         row_offset: int = 0) -> jnp.ndarray:
     """packed [PACK, B_pad] f32, tile_bounds [n_tiles+1] i32 → [n_tiles, PIX, OUTC].
 
     Output channels: 0-2 accumulated RGB (no background), 3 final T, 4 final logT.
     """
     kernel = functools.partial(_fwd_kernel, chunk_size=chunk_size,
-                               tiles_x=tiles_x, tile_size=tile_size)
+                               tiles_x=tiles_x, tile_size=tile_size,
+                               row_offset=row_offset)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -167,11 +170,12 @@ def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
 
 def _bwd_kernel(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                 chunk, gchunk, sem_in, sem_out, *,
-                chunk_size: int, tiles_x: int, tile_size: int):
+                chunk_size: int, tiles_x: int, tile_size: int,
+                row_offset: int):
     t = pl.program_id(0)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
-    px, py = _tile_pixel_coords(t, tiles_x, tile_size)
+    px, py = _tile_pixel_coords(t, tiles_x, tile_size, row_offset)
     C = chunk_size
     nchunks = (end - start) // C
 
@@ -248,10 +252,12 @@ def _bwd_kernel(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
 def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
                           fwd_out: jnp.ndarray, cotangent: jnp.ndarray,
                           n_tiles: int, tiles_x: int, tile_size: int,
-                          chunk_size: int, interpret: bool) -> jnp.ndarray:
+                          chunk_size: int, interpret: bool,
+                          row_offset: int = 0) -> jnp.ndarray:
     """Per-instance gradient table [PACK, B_pad] (same layout as packed)."""
     kernel = functools.partial(_bwd_kernel, chunk_size=chunk_size,
-                               tiles_x=tiles_x, tile_size=tile_size)
+                               tiles_x=tiles_x, tile_size=tile_size,
+                               row_offset=row_offset)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),

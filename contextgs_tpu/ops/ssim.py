@@ -15,11 +15,17 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=4)
 def _gaussian_window(window_size: int, sigma: float):
-    x = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
-    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    # numpy on purpose: this is cached across jit traces, so it must be a
+    # constant, never a traced array
+    import numpy as np
+
+    x = np.arange(window_size, dtype=np.float32) - window_size // 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
     g = g / g.sum()
-    w2d = jnp.outer(g, g)
-    return w2d / w2d.sum()
+    w2d = np.outer(g, g)
+    # stays numpy: jnp conversion inside a jit trace would stage a constant
+    # tracer into the cache and leak it into later traces
+    return (w2d / w2d.sum()).astype(np.float32)
 
 
 def _filter2d(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,203 @@
+"""Host-side training orchestration.
+
+Behavioral spec: /root/reference/train.py:90-265 (training()): random camera
+order, per-phase schedule, densification every `update_interval` steps within
+(update_from, update_until) excluding [3000,4000), anchor-bound refresh at the
+context transition (step 10000), level-scale search on first context step.
+
+TPU specifics: three jitted step functions (one per phase); densification is a
+jitted pool update; when the padded pool runs out of free slots the host
+enlarges capacity (2×) and re-jits.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contextgs_tpu.config import TrainConfig
+from contextgs_tpu.models import densify, state as st
+from contextgs_tpu.models.levels import find_divide_scale
+from contextgs_tpu.models.state import Buffers, Params, SceneModel
+from contextgs_tpu.scene.dataset_readers import SceneInfo
+from contextgs_tpu.train.optim import AdamState, init_adam
+from contextgs_tpu.train.step import make_train_step
+from contextgs_tpu.utils.checkpoint import save_pytree
+
+log = logging.getLogger("contextgs_tpu")
+
+
+@dataclass
+class TrainerState:
+    model: SceneModel
+    adam: AdamState
+    voxel_size: float
+    spatial_lr_scale: float
+    level_scales: Optional[list] = None
+    iteration: int = 0
+    rng: np.random.Generator = field(
+        default_factory=lambda: np.random.default_rng(0))
+
+
+def phase_of(it: int, cfg: TrainConfig) -> str:
+    if it <= cfg.opt.noise_from:
+        return "plain"
+    if it <= cfg.opt.context_from:
+        return "noise"
+    return "context"
+
+
+def grow_capacity(model: SceneModel, adam: AdamState,
+                  new_capacity: int) -> tuple[SceneModel, AdamState]:
+    """Host-side pool enlargement (pads anchor-indexed leaves with zeros)."""
+    n = model.buffers.alive.shape[0]
+    extra = new_capacity - n
+    if extra <= 0:
+        return model, adam
+
+    def pad_leaf(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == n:
+            return np.concatenate(
+                [x, np.zeros((extra,) + x.shape[1:], x.dtype)], axis=0)
+        return x
+
+    def pad_params(p: Params) -> Params:
+        fields = {}
+        for name in p._fields:
+            v = getattr(p, name)
+            if name in ("mlps", "prior"):
+                fields[name] = v
+            else:
+                fields[name] = jnp.asarray(pad_leaf(v))
+        return Params(**fields)
+
+    params = pad_params(model.params)
+    buffers = Buffers(*[jnp.asarray(pad_leaf(v)) for v in model.buffers])
+    adam = AdamState(mu=pad_params(adam.mu), nu=pad_params(adam.nu),
+                     count=adam.count)
+    return SceneModel(params, buffers), adam
+
+
+def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
+          callback=None) -> TrainerState:
+    """Run the full optimization; returns the final trainer state."""
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_init = jax.random.split(key)
+    model, voxel_size = st.init_scene_model(k_init, scene.points, cfg.model)
+    adam = init_adam(model.params)
+    ts = TrainerState(model=model, adam=adam, voxel_size=voxel_size,
+                      spatial_lr_scale=scene.radius,
+                      rng=np.random.default_rng(cfg.seed))
+    log.info("init: %d anchors (capacity %d), voxel_size=%.6f",
+             st.n_alive(model), model.buffers.alive.shape[0], voxel_size)
+
+    cams = scene.train_cameras
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
+                     else [0.0, 0.0, 0.0], jnp.float32)
+    cam_devs = [c.as_device_dict() for c in cams]
+    gts = [jnp.asarray(np.transpose(c.image, (2, 0, 1))) for c in cams]
+    width, height = cams[0].width, cams[0].height
+
+    step_fns: dict = {}
+
+    def get_step(phase: str):
+        lk = (phase, model.buffers.alive.shape[0])
+        if lk not in step_fns:
+            step_fns[lk] = make_train_step(
+                cfg, width, height, budget, phase,
+                tuple(ts.level_scales or ()), ts.spatial_lr_scale, ts.voxel_size)
+        return step_fns[lk]
+
+    densify_jit: dict = {}
+
+    def get_densify():
+        lk = model.buffers.alive.shape[0]
+        if lk not in densify_jit:
+            densify_jit[lk] = jax.jit(lambda p, b, a, k: densify.adjust_anchors(
+                p, b, a, cfg.model, cfg.opt, ts.voxel_size, k))
+        return densify_jit[lk]
+
+    order: list = []
+    t_start = time.time()
+    opt = cfg.opt
+    for it in range(ts.iteration + 1, opt.iterations + 1):
+        ts.iteration = it
+        phase = phase_of(it, cfg)
+
+        if it == opt.context_from + 1:
+            # context transition: refresh bounds (ref renderer :60-61 at step
+            # 10000) and search level scales once (ref :1559)
+            model = SceneModel(model.params, st.update_anchor_bound(
+                model.buffers, model.params.anchor, model.buffers.alive))
+            if ts.level_scales is None:
+                alive = np.asarray(model.buffers.alive)
+                anchors = np.asarray(model.params.anchor)[alive]
+                mask_anchor = np.asarray(
+                    st.get_mask_anchor(model.params, model.buffers.alive))[alive]
+                ts.level_scales = find_divide_scale(
+                    anchors[mask_anchor], ts.voxel_size,
+                    np.asarray(model.buffers.bound_min),
+                    np.asarray(model.buffers.bound_max),
+                    cfg.model.target_ratio, cfg.model.level_num)
+                log.info("level scales: %s", ts.level_scales)
+            step_fns.clear()
+
+        if not order:
+            order = list(ts.rng.permutation(len(cams)))
+        ci = order.pop()
+
+        with_stats = jnp.asarray(opt.start_stat < it < opt.update_until)
+        key, k_step = jax.random.split(key)
+        step = get_step(phase)
+        params, buffers, adam, metrics = step(
+            model.params, model.buffers, ts.adam, cam_devs[ci], gts[ci], bg,
+            jnp.asarray(it, jnp.float32), with_stats, k_step)
+        model = SceneModel(params, buffers)
+        ts.model, ts.adam = model, adam
+
+        do_densify = (opt.update_from < it < opt.update_until
+                      and it % opt.update_interval == 0
+                      and not (3000 <= it < 4000))
+        if do_densify:
+            key, k_d = jax.random.split(key)
+            res = get_densify()(model.params, model.buffers, ts.adam, k_d)
+            model = SceneModel(res.params, res.buffers)
+            ts.model, ts.adam = model, res.adam
+            if bool(res.overflowed):
+                cap = model.buffers.alive.shape[0] * 2
+                log.warning("anchor pool full at iter %d → growing to %d", it, cap)
+                model, adam2 = grow_capacity(model, ts.adam, cap)
+                ts.model, ts.adam = model, adam2
+                step_fns.clear()
+                densify_jit.clear()
+
+        if callback is not None:
+            callback(it, ts, metrics)
+        if it % cfg.log_every == 0:
+            log.info("iter %d [%s]: loss=%.5f psnr=%.2f bpp=%.4f anchors=%d",
+                     it, phase, float(metrics.loss), float(metrics.psnr),
+                     float(metrics.bit_per_param), st.n_alive(model))
+
+        if it in cfg.checkpoint_iterations or it in cfg.save_iterations:
+            if cfg.model_path:
+                import pickle
+                os.makedirs(cfg.model_path, exist_ok=True)
+                save_pytree(os.path.join(cfg.model_path, f"chkpnt{it}.pkl"),
+                            dict(params=ts.model.params,
+                                 buffers=ts.model.buffers, adam=ts.adam))
+                with open(os.path.join(cfg.model_path,
+                                       f"chkpnt{it}.meta.pkl"), "wb") as f:
+                    pickle.dump(dict(iteration=it, voxel_size=ts.voxel_size,
+                                     level_scales=ts.level_scales,
+                                     spatial_lr_scale=ts.spatial_lr_scale), f)
+
+    log.info("training done in %.1fs", time.time() - t_start)
+    return ts

@@ -1,9 +1,13 @@
 """Test harness.
 
 Default: force an 8-device virtual CPU mesh so sharding logic is exercised
-without TPU hardware (SURVEY.md §4). Pallas kernels cannot run on CPU in this
-environment (interpret mode never finishes compiling through the remote
-compiler), so kernel tests are marked `tpu` and skipped on CPU; run them with
+without TPU hardware (SURVEY.md §4). NOTE: this environment's sitecustomize
+imports jax before any test code runs, so JAX_PLATFORMS env vars are already
+baked — the runtime `jax.config.update` API is the only thing that works.
+
+Pallas kernels cannot run on CPU here (interpret mode never finishes
+compiling through the remote compiler), so kernel tests are marked `tpu` and
+skipped on CPU; run them with
 
     CONTEXTGS_TEST_TPU=1 python -m pytest tests/ -m tpu
 
@@ -12,18 +16,17 @@ which keeps the default (axon) platform with the real chip.
 
 import os
 
-ON_TPU = os.environ.get("CONTEXTGS_TEST_TPU") == "1"
-if not ON_TPU:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
-# every XLA compile goes through a slow remote compiler in this environment —
-# cache compiled executables on disk so reruns are fast
+# compile cache: every XLA compile goes through a slow remote compiler here
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_cc")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+ON_TPU = os.environ.get("CONTEXTGS_TEST_TPU") == "1"
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -32,6 +35,8 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: requires the real TPU chip (CONTEXTGS_TEST_TPU=1)")
+    config.addinivalue_line(
+        "markers", "slow: multi-minute end-to-end tests")
 
 
 def pytest_collection_modifyitems(config, items):

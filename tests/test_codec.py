@@ -1,0 +1,88 @@
+"""Codec round-trip: encode∘decode must bit-exactly reproduce the encoder's
+quantized states through the autoregressive context chain (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contextgs_tpu.compression.codec import decode_scene, encode_scene
+from contextgs_tpu.config import ModelConfig
+from contextgs_tpu.models import state as st
+
+CFG = ModelConfig(feat_dim=8, n_offsets=4, hyper_divisor=4, level_num=3,
+                  voxel_size=0.05)
+
+
+def _trainedish_model(rng, n_pts=300):
+    """A model with non-trivial content (as if partially trained)."""
+    pts = rng.uniform(-1, 1, (n_pts, 3))
+    model, voxel = st.init_scene_model(jax.random.PRNGKey(0), pts, CFG)
+    p = model.params
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(5), 4)
+    n = p.anchor.shape[0]
+    p = p._replace(
+        anchor_feat=jax.random.normal(k1, p.anchor_feat.shape) * 2.0,
+        hyper_latent=jax.random.normal(k2, p.hyper_latent.shape) * 2.0,
+        offsets=jax.random.normal(k3, p.offsets.shape) * 0.3,
+        # a few masks off
+        mask_logit=jnp.where(jax.random.uniform(k4, p.mask_logit.shape) < 0.15,
+                             -8.0, 1.0),
+    )
+    return st.SceneModel(p, model.buffers), voxel
+
+
+def test_codec_roundtrip_bit_exact(rng, tmp_path):
+    model, voxel = _trainedish_model(rng)
+    p, b = model.params, model.buffers
+    scales = [4.0, 16.0]
+    out = str(tmp_path / "bitstreams")
+    bits, enc_states = encode_scene(p, b, CFG, scales, voxel, out,
+                                    return_states=True)
+    dec = decode_scene(out, CFG)
+
+    # every stream fully consumed is asserted inside decode_scene
+    np.testing.assert_array_equal(dec.anchor, enc_states["anchor"])
+    np.testing.assert_array_equal(dec.masks, enc_states["masks"])
+    np.testing.assert_array_equal(dec.hyper, enc_states["hyper"])
+    # the autoregressive chain: decoded values must be BIT-identical to the
+    # encoder's dequantized states, else the context diverges
+    np.testing.assert_array_equal(dec.feat, enc_states["feat"])
+    np.testing.assert_array_equal(dec.scaling, enc_states["scaling"])
+    np.testing.assert_array_equal(dec.offsets, enc_states["offsets"])
+
+    # masked-out offsets decode to zero (ref gaussian_model.py:1471-1475)
+    off = dec.offsets.reshape(-1, 3)
+    dead = (dec.masks.reshape(-1) == 0)
+    assert np.all(off[dead] == 0)
+
+    # sizes: breakdown sums and is non-trivial
+    assert bits["total"] > bits["mlp"]
+    for k in ("anchor", "hyper", "masks", "feat", "scaling", "offsets"):
+        assert bits[k] >= 0
+    # quantized values close to originals (distortion bounded by Q/2)
+    alive = np.asarray(st.get_mask_anchor(p, b.alive))
+    orig_feat = np.asarray(p.anchor_feat)[alive]
+    assert np.abs(dec.feat - orig_feat).max() < 1.01  # Q_feat ≈ <2, err ≤ Q/2
+
+
+def test_codec_compresses(rng, tmp_path):
+    model, voxel = _trainedish_model(rng)
+    p, b = model.params, model.buffers
+    out = str(tmp_path / "bs")
+    bits = encode_scene(p, b, CFG, [4.0, 16.0], voxel, out)
+    n_alive = int(np.asarray(st.get_mask_anchor(p, b.alive)).sum())
+    raw_bits = n_alive * (CFG.feat_dim + 6 + 3 * CFG.n_offsets) * 32
+    coded = bits["feat"] + bits["scaling"] + bits["offsets"]
+    assert coded < raw_bits, "entropy coding should beat raw fp32"
+
+
+def test_codec_deterministic(rng, tmp_path):
+    model, voxel = _trainedish_model(rng, n_pts=150)
+    p, b = model.params, model.buffers
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    encode_scene(p, b, CFG, [4.0, 16.0], voxel, d1)
+    encode_scene(p, b, CFG, [4.0, 16.0], voxel, d2)
+    for f in ("anchor.npy", "hyper.b", "masks.b", "feat0.b", "feat1.b",
+              "feat2.b", "scaling0.b", "offsets0.b"):
+        with open(f"{d1}/{f}", "rb") as fa, open(f"{d2}/{f}", "rb") as fb:
+            assert fa.read() == fb.read(), f"{f} differs between runs"

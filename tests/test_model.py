@@ -1,0 +1,257 @@
+"""Model-layer unit tests: quantizers, entropy models, level maps, context."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contextgs_tpu.config import ModelConfig
+from contextgs_tpu.models import state as st
+from contextgs_tpu.models.context import multi_scale_generate
+from contextgs_tpu.models.entropy import (factorized_forward,
+                                          factorized_likelihood,
+                                          factorized_pmf_table, gaussian_bits,
+                                          init_factorized_prior, low_bound)
+from contextgs_tpu.models.levels import (build_level_maps, find_divide_scale,
+                                         segmented_carry)
+from contextgs_tpu.models.mlps import count_mlp_params, init_decoder_mlps
+from contextgs_tpu.models.quant import (mask_ste, quantize_anchor, ste_multistep)
+
+CFG = ModelConfig(feat_dim=8, n_offsets=4, hyper_divisor=4, level_num=3,
+                  voxel_size=0.05)
+
+
+# ---------------------------------------------------------------------------
+# quantizers
+# ---------------------------------------------------------------------------
+
+def test_ste_multistep_rounds_and_passes_grad(rng):
+    x = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    q = 0.1
+    y = jax.jit(lambda v: ste_multistep(v, q))(x)
+    np.testing.assert_allclose(np.asarray(y), np.round(np.asarray(x) / q) * q,
+                               atol=1e-6)
+    g = jax.jit(jax.grad(lambda v: ste_multistep(v, q).sum()))(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_quantize_anchor_16bit(rng):
+    a = jnp.asarray(rng.uniform(-2, 3, (64, 3)).astype(np.float32))
+    mn = jnp.full((1, 3), -2.5)
+    mx = jnp.full((1, 3), 3.5)
+    deq, codes = jax.jit(quantize_anchor)(a, mn, mx)
+    c = np.asarray(codes)
+    assert c.min() >= 0 and c.max() <= 2 ** 16 - 1
+    # dequantization error bounded by one interval
+    interval = (3.5 + 2.5) / (2 ** 16 - 1)
+    assert np.abs(np.asarray(deq) - np.asarray(a)).max() < 1.5 * interval
+
+
+def test_mask_ste_threshold():
+    logits = jnp.asarray([-10.0, 0.0, 10.0])
+    m = np.asarray(jax.jit(mask_ste)(logits))
+    np.testing.assert_allclose(m, [0.0, 1.0, 1.0])
+
+
+# ---------------------------------------------------------------------------
+# entropy models
+# ---------------------------------------------------------------------------
+
+def test_gaussian_bits_matches_closed_form(rng):
+    from scipy.stats import norm
+    x = rng.normal(size=(50,)).astype(np.float32)
+    mean = rng.normal(size=(50,)).astype(np.float32) * 0.1
+    scale = (0.5 + rng.random(50)).astype(np.float32)
+    q = 0.2
+    bits = np.asarray(jax.jit(lambda *a: gaussian_bits(*a, q))(
+        jnp.asarray(x), jnp.asarray(mean), jnp.asarray(scale)))
+    lik = np.abs(norm.cdf(x + 0.5 * q, mean, scale)
+                 - norm.cdf(x - 0.5 * q, mean, scale))
+    np.testing.assert_allclose(bits, -np.log2(np.maximum(lik, 1e-6)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_low_bound_gradient():
+    g = jax.jit(jax.grad(lambda x: low_bound(x).sum()))(
+        jnp.asarray([1e-8, 1e-3]))
+    # below bound: gradient blocked when pushing down (g>0 means increase loss?
+    # convention: upstream grad=1 -> pass only if x>=bound or grad<0)
+    np.testing.assert_allclose(np.asarray(g), [0.0, 1.0])
+
+
+def test_factorized_prior_is_a_distribution(rng):
+    prior = init_factorized_prior(jax.random.PRNGKey(0), channels=4)
+    pmf = np.asarray(jax.jit(lambda: factorized_pmf_table(prior, -300, 300))())
+    assert pmf.shape == (4, 601)
+    assert (pmf >= 0).all()
+    np.testing.assert_allclose(pmf.sum(axis=1), 1.0, atol=5e-3)
+    # likelihood of data matches the pmf at integer points
+    x = jnp.asarray([[2.0, -1.0, 0.0, 3.0]])
+    lik = np.asarray(jax.jit(lambda v: factorized_likelihood(prior, v))(x))
+    expect = [pmf[0, 302], pmf[1, 299], pmf[2, 300], pmf[3, 303]]
+    # f32 cancellation in the sigmoid difference leaves ~1e-3 absolute noise
+    # between differently-shaped evaluations of the same logits chain
+    np.testing.assert_allclose(lik[0], expect, atol=1.5e-3)
+
+
+def test_factorized_forward_modes(rng):
+    prior = init_factorized_prior(jax.random.PRNGKey(1), channels=3)
+    x = jnp.asarray(rng.normal(size=(20, 3)).astype(np.float32) * 3)
+    y_eval, lik = jax.jit(functools.partial(factorized_forward, training=False))(
+        prior, x, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(y_eval), np.round(np.asarray(x)))
+    y_train, _ = jax.jit(functools.partial(factorized_forward, training=True))(
+        prior, x, jax.random.PRNGKey(0))
+    assert np.abs(np.asarray(y_train) - np.asarray(x)).max() <= 0.5 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# level maps
+# ---------------------------------------------------------------------------
+
+def test_segmented_carry():
+    starts = jnp.asarray([1, 0, 0, 1, 0, 1], bool)
+    vals = jnp.asarray([5, 0, 0, 2, 0, 9])
+    out = np.asarray(jax.jit(segmented_carry)(starts, vals))
+    np.testing.assert_array_equal(out, [5, 5, 5, 2, 2, 9])
+
+
+def _np_divide_levels(anchors, voxel_size, scales):
+    """Brute-force reimplementation of the reference's nested unique
+    (divide_levels, gaussian_model.py:1751-1765) for cross-checking."""
+    n = len(anchors)
+    level = np.zeros(n, np.int32)
+    parent = np.arange(n)
+    member = np.arange(n)
+    for i, s in enumerate(scales, start=1):
+        keys = np.round(anchors[member] / (voxel_size * s))
+        # first occupant per unique voxel (min original index)
+        seen = {}
+        reps = {}
+        for j, k in enumerate(map(tuple, keys)):
+            if k not in seen:
+                seen[k] = member[j]
+            reps[member[j]] = seen[k]
+        new_member = sorted(set(seen.values()))
+        for m in member:
+            if reps[m] != m:
+                parent[m] = reps[m]
+            elif m in new_member:
+                level[m] = i
+        member = np.array(new_member)
+    return level, parent
+
+
+def test_build_level_maps_matches_bruteforce(rng):
+    n = 200
+    anchors = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    scales = (4.0, 16.0)
+    maps = jax.jit(lambda a: build_level_maps(
+        a, jnp.ones(n, bool), 0.05, scales, 3))(jnp.asarray(anchors))
+    lv_np, par_np = _np_divide_levels(anchors.astype(np.float64), 0.05, scales)
+    np.testing.assert_array_equal(np.asarray(maps.level), lv_np)
+    # parents must match for non-coarsest anchors
+    lv = np.asarray(maps.level)
+    par = np.asarray(maps.parent)
+    sel = lv < 2
+    np.testing.assert_array_equal(par[sel], par_np[sel])
+    # invariants: parent strictly coarser; counts sum to n
+    assert (lv[par[sel]] > lv[sel]).all()
+    assert np.asarray(maps.counts).sum() == n
+
+
+def test_build_level_maps_respects_alive(rng):
+    n = 64
+    anchors = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    alive = jnp.asarray(rng.random(n) > 0.3)
+    maps = jax.jit(lambda a, al: build_level_maps(a, al, 0.05, (4.0, 16.0), 3))(
+        jnp.asarray(anchors), alive)
+    lv = np.asarray(maps.level)
+    al = np.asarray(alive)
+    # dead slots stay at level 0 and never serve as representatives/parents
+    assert (lv[~al] == 0).all()
+    par = np.asarray(maps.parent)
+    assert al[par[al & (lv < 2)]].all()
+
+
+def test_find_divide_scale_hits_target(rng):
+    anchors = rng.uniform(-1, 1, (3000, 3))
+    scales = find_divide_scale(anchors, 0.01, np.full(3, -1.0), np.full(3, 1.0),
+                               target_ratio=0.2, level_num=3)
+    assert len(scales) == 2
+    for i, s in enumerate(scales):
+        pts = anchors if i == 0 else np.unique(
+            np.round(anchors / 0.01 / scales[0]), axis=0) * 0.01 * scales[0]
+        u = np.unique(np.round(pts / 0.01 / s), axis=0)
+        ratio = len(u) / len(pts)
+        assert 0.1 < ratio < 0.35, f"level {i}: ratio {ratio}"
+
+
+# ---------------------------------------------------------------------------
+# context model
+# ---------------------------------------------------------------------------
+
+def _tiny_model(rng, n_pts=150):
+    pts = rng.uniform(-1, 1, (n_pts, 3))
+    model, voxel = st.init_scene_model(jax.random.PRNGKey(0), pts, CFG)
+    # give features some content
+    p = model.params
+    k = jax.random.PRNGKey(3)
+    p = p._replace(
+        anchor_feat=jax.random.normal(k, p.anchor_feat.shape) * 0.5,
+        hyper_latent=jax.random.normal(k, p.hyper_latent.shape),
+        offsets=jax.random.normal(k, p.offsets.shape) * 0.1)
+    return st.SceneModel(p, model.buffers), voxel
+
+
+def test_multi_scale_generate_eval_deterministic_and_quantized(rng):
+    model, voxel = _tiny_model(rng)
+    p, b = model.params, model.buffers
+    anchor_q = st.get_anchor(p, b)
+    maps = build_level_maps(anchor_q, b.alive, voxel, (4.0, 16.0), 3)
+
+    run = jax.jit(functools.partial(
+        multi_scale_generate, training=False), static_argnums=(2,))
+    out1 = run(p, b, CFG, maps, anchor_q, jax.random.PRNGKey(0))
+    out2 = run(p, b, CFG, maps, anchor_q, jax.random.PRNGKey(42))
+    # eval path must be key-independent and bit-deterministic
+    np.testing.assert_array_equal(np.asarray(out1.feat_q), np.asarray(out2.feat_q))
+
+    # quantization property: outputs are multiples of the predicted Q
+    alive = np.asarray(b.alive)
+    fq = np.asarray(out1.feat_q)[alive]
+    q = np.asarray(out1.eparams.q_feat)[alive]
+    ratio = fq / q
+    np.testing.assert_allclose(ratio, np.round(ratio), atol=1e-3)
+
+
+def test_multi_scale_generate_training_noisy(rng):
+    model, voxel = _tiny_model(rng)
+    p, b = model.params, model.buffers
+    anchor_q = st.get_anchor(p, b)
+    maps = build_level_maps(anchor_q, b.alive, voxel, (4.0, 16.0), 3)
+    run = jax.jit(functools.partial(multi_scale_generate, training=True),
+                  static_argnums=(2,))
+    out = run(p, b, CFG, maps, anchor_q, jax.random.PRNGKey(0))
+    alive = np.asarray(b.alive)
+    q = np.asarray(out.eparams.q_feat)[alive]
+    err = np.abs(np.asarray(out.feat_q)[alive]
+                 - np.asarray(p.anchor_feat)[alive])
+    assert (err <= q * 0.5 + 1e-5).all()
+    assert err.max() > 0
+
+
+def test_mlp_param_count():
+    mlps = init_decoder_mlps(jax.random.PRNGKey(0), CFG)
+    n = count_mlp_params(mlps)
+    f, k = CFG.feat_dim, CFG.n_offsets
+    expect = ((f + 4) * f + f) + (f * k + k)          # opacity
+    expect += ((f + 4) * f + f) + (f * 7 * k + 7 * k)  # cov
+    expect += ((f + 4) * f + f) + (f * 3 * k + 3 * k)  # color
+    gout = (f + 6 + 3 * k) * 2 + 3
+    for i in range(3):
+        din = (CFG.hyper_dim + 3 if i == 2 else CFG.context_dim + CFG.hyper_dim)
+        expect += (din * 2 * f + 2 * f) + (2 * f * gout + gout)
+    assert n == expect

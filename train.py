@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""ContextGS-TPU training driver.
+
+Equivalent of /root/reference/train.py: train → estimate bits → encode →
+decode → render test split from DECODED parameters → metrics → results.json.
+
+Usage (mirrors the reference CLI):
+    python train.py -s <scene_dir> -m outputs/scene --lmbda 0.001 [--preset mipnerf360]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_cc"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contextgs_tpu.config import (ModelConfig, OptimizationConfig,
+                                  PipelineConfig, TrainConfig, preset)
+from contextgs_tpu.compression.codec import decode_scene, encode_scene
+from contextgs_tpu import evaluation as ev
+from contextgs_tpu.models import state as st
+from contextgs_tpu.scene.dataset_readers import load_scene
+from contextgs_tpu.train.loop import train
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-s", "--source_path", required=True)
+    p.add_argument("-m", "--model_path", default="")
+    p.add_argument("--images", default="images")
+    p.add_argument("-r", "--resolution", type=int, default=-1)
+    p.add_argument("--preset", default=None,
+                   choices=["mipnerf360", "tandt", "deep_blending",
+                            "nerf_synthetic", "bungeenerf"])
+    p.add_argument("--white_background", action="store_true")
+    p.add_argument("--eval", action="store_true", default=True)
+    p.add_argument("--lod", type=int, default=0)
+    p.add_argument("--voxel_size", type=float, default=None)
+    p.add_argument("--update_init_factor", type=int, default=None)
+    p.add_argument("--iterations", type=int, default=30_000)
+    # schedule boundaries (defaults = reference values; override to scale
+    # down for smoke runs)
+    p.add_argument("--noise_from", type=int, default=3000)
+    p.add_argument("--context_from", type=int, default=10_000)
+    p.add_argument("--start_stat", type=int, default=500)
+    p.add_argument("--update_from", type=int, default=1500)
+    p.add_argument("--update_interval", type=int, default=100)
+    p.add_argument("--update_until", type=int, default=15_000)
+    p.add_argument("--lmbda", type=float, default=0.001)
+    p.add_argument("--lmbda_rec", type=float, default=1.0)
+    p.add_argument("--level_num", type=int, default=3)
+    p.add_argument("--disable_hyper", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--budget", type=int, default=1 << 20,
+                   help="tile-instance budget for the rasterizer")
+    p.add_argument("--backend", default="auto")
+    p.add_argument("--skip_codec", action="store_true")
+    p.add_argument("--skip_render", action="store_true")
+    p.add_argument("--save_images", action="store_true")
+    return p
+
+
+def config_from_args(args) -> TrainConfig:
+    if args.preset:
+        model = preset(args.preset, level_num=args.level_num,
+                       lod=args.lod or preset(args.preset).lod)
+    else:
+        model = ModelConfig(level_num=args.level_num, lod=args.lod,
+                            white_background=args.white_background)
+    overrides = {}
+    if args.voxel_size is not None:
+        overrides["voxel_size"] = args.voxel_size
+    if args.update_init_factor is not None:
+        overrides["update_init_factor"] = args.update_init_factor
+    if args.white_background:
+        overrides["white_background"] = True
+    overrides["resolution"] = args.resolution
+    model = dataclasses.replace(model, **overrides)
+    opt = OptimizationConfig(iterations=args.iterations, lmbda=args.lmbda,
+                             lmbda_rec=args.lmbda_rec,
+                             disable_hyper=args.disable_hyper,
+                             noise_from=args.noise_from,
+                             context_from=args.context_from,
+                             start_stat=args.start_stat,
+                             update_from=args.update_from,
+                             update_interval=args.update_interval,
+                             update_until=args.update_until)
+    pipe = PipelineConfig(backend=args.backend)
+    return TrainConfig(model=model, opt=opt, pipe=pipe,
+                       source_path=os.path.abspath(args.source_path),
+                       model_path=args.model_path, images=args.images,
+                       seed=args.seed,
+                       save_iterations=(args.iterations,))
+
+
+def setup_logging(model_path: str):
+    handlers = [logging.StreamHandler(sys.stdout)]
+    if model_path:
+        os.makedirs(model_path, exist_ok=True)
+        handlers.append(logging.FileHandler(
+            os.path.join(model_path, "outputs.log")))
+    logging.basicConfig(level=logging.INFO, handlers=handlers,
+                        format="%(asctime)s %(levelname)s %(message)s")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    setup_logging(cfg.model_path)
+    log = logging.getLogger("contextgs_tpu")
+    if cfg.model_path:
+        with open(os.path.join(cfg.model_path, "cfg_args"), "w") as f:
+            f.write(cfg.to_json())
+
+    log.info("loading scene %s", cfg.source_path)
+    scene = load_scene(cfg.source_path, images=cfg.images,
+                       eval_split=cfg.model.eval, lod=cfg.model.lod,
+                       white_background=cfg.model.white_background,
+                       resolution=cfg.model.resolution)
+    log.info("scene: %d train / %d test cameras, %d points",
+             len(scene.train_cameras), len(scene.test_cameras),
+             len(scene.points))
+
+    ts = train(cfg, scene, budget=args.budget)
+
+    if args.skip_codec:
+        return 0
+
+    # encode → decode → evaluate from decoded parameters (ref train.py:298-314)
+    out_dir = os.path.join(cfg.model_path or ".", "bitstreams")
+    bits = encode_scene(ts.model.params, ts.model.buffers, cfg.model,
+                        ts.level_scales or [], ts.voxel_size, out_dir,
+                        disable_hyper=cfg.opt.disable_hyper)
+    log.info("encoded: %.3f MB total (feat %.3f, scaling %.3f, offsets %.3f, "
+             "hyper %.3f, anchor %.3f, masks %.3f, mlp %.3f) in %.1fs",
+             bits["total"] / 8 / 1024 / 1024, bits["feat"] / 8 / 1024 / 1024,
+             bits["scaling"] / 8 / 1024 / 1024,
+             bits["offsets"] / 8 / 1024 / 1024, bits["hyper"] / 8 / 1024 / 1024,
+             bits["anchor"] / 8 / 1024 / 1024, bits["masks"] / 8 / 1024 / 1024,
+             bits["mlp"] / 8 / 1024 / 1024, bits["time_s"])
+
+    dec = decode_scene(out_dir, cfg.model)
+    if args.skip_render or not scene.test_cameras:
+        return 0
+    cam0 = scene.test_cameras[0]
+    renderer = ev.make_decoded_renderer(dec, cfg, cam0.width, cam0.height,
+                                        budget=args.budget)
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
+                     else [0.0, 0.0, 0.0])
+    renders, gts, fps = ev.render_set(
+        renderer, scene.test_cameras, bg,
+        out_dir=os.path.join(cfg.model_path or ".", "test"),
+        save_images=args.save_images)
+    metrics = ev.evaluate_images(renders, gts)
+    log.info("test: PSNR %.3f SSIM %.4f FPS %.1f", metrics["PSNR"],
+             metrics["SSIM"], fps)
+    ev.write_results(cfg.model_path or ".", "ours", metrics, bits, fps)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
