@@ -136,19 +136,20 @@ def rasterize(
                                        band_height=band_h)
     else:
         g = inst.gauss_ids
+        # single fused row-gather of all per-gaussian splat state (separate
+        # per-component [B_pad] gathers each re-walk the index array);
         # pad slots (valid=False) are neutralized via zero opacity
-        opac = jnp.where(inst.valid, opacities[g], 0.0)
-        packed = jnp.stack([
-            proj.means2d[g, 0], proj.means2d[g, 1],
-            proj.conics[g, 0], proj.conics[g, 1], proj.conics[g, 2],
-            opac,
-            colors[g, 0], colors[g, 1], colors[g, 2],
-        ], axis=0)                                        # [9, B_pad]
-        packed = jnp.concatenate([
-            packed,
-            jnp.zeros((PACK - 9, packed.shape[1]), packed.dtype)], axis=0)
+        opac = opacities[:, None]
+        gauss_rows = jnp.concatenate([
+            proj.means2d, proj.conics, opac, colors,
+            jnp.zeros((colors.shape[0], PACK - 9), colors.dtype)], axis=1)
+        packed = gauss_rows[g]                            # [B_pad, PACK]
+        packed = packed.at[:, 5].set(
+            packed[:, 5] * inst.valid.astype(packed.dtype))
+        packed = packed.T                                 # [PACK, B_pad]
         tiles = _blend_pallas(packed, inst.tile_bounds, n_tiles, tiles_x,
                               tile_size, chunk_size, interpret, row0)
+        tiles = tiles[:n_tiles]          # drop grid-batch padding tiles
         # [n_tiles, 256, 8] → [8, band_h, W]
         full = tiles.reshape(band_rows, tiles_x, tile_size, tile_size, 8)
         full = full.transpose(4, 0, 2, 1, 3).reshape(

@@ -59,8 +59,12 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     total = jnp.minimum(total, budget)
 
     slots = jnp.arange(budget, dtype=jnp.int32)
-    # slot → gaussian: last g with offsets[g] <= s
-    g = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
+    # slot → gaussian: last g with offsets[g] <= s. Equivalent to
+    # searchsorted(offsets, slots, 'right')-1 but via scatter-add + cumsum —
+    # XLA lowers vectorized searchsorted to a gather-heavy binary-search loop
+    # that costs ~300ms at 2M slots on TPU, vs ~10ms for this formulation.
+    heads = jnp.zeros((budget,), jnp.int32).at[offsets].add(1, mode="drop")
+    g = jnp.cumsum(heads) - 1
     g = jnp.clip(g, 0, max(counts.shape[0] - 1, 0))
     k = slots - offsets[g]                                     # tile index within rect
     valid = slots < total

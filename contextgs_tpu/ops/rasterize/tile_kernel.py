@@ -92,74 +92,111 @@ def _chunk_alphas(data, px, py):
 
 def _fwd_kernel(bounds_ref, packed_hbm, out_ref, chunk, sem, *,
                 chunk_size: int, tiles_x: int, tile_size: int,
-                row_offset: int):
-    t = pl.program_id(0)
+                row_offset: int, tiles_per_step: int):
+    step = pl.program_id(0)
+    C = chunk_size
+    for j in range(tiles_per_step):
+        t = step * tiles_per_step + j
+        _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
+                      C, tiles_x, tile_size, row_offset)
+
+
+def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
+                  C, tiles_x, tile_size, row_offset):
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
     px, py = _tile_pixel_coords(t, tiles_x, tile_size, row_offset)
-    C = chunk_size
     nchunks = (end - start) // C       # segments are exact multiples of C
+
+    def dma(slot, ci):
+        off = pl.multiple_of(start + ci * C, 128)
+        return pltpu.make_async_copy(packed_hbm.at[:, pl.ds(off, C)],
+                                     chunk.at[slot], sem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
 
     def body(ci, carry):
         log_t, rgb = carry
-        off = pl.multiple_of(start + ci * C, 128)
-        dma = pltpu.make_async_copy(packed_hbm.at[:, pl.ds(off, C)], chunk, sem)
-        dma.start()
-        dma.wait()
-        ev = _chunk_alphas(chunk[:, :], px, py)
-        alpha = ev["alpha"]
-        log1m = jnp.log1p(-alpha)
-        # early-termination prefix: include i iff log T through i >= LOG_T_EPS
-        cum_incl = _cumsum_lanes(log1m, strict=False)
-        include = (log_t + cum_incl) >= LOG_T_EPS
-        alpha = jnp.where(include, alpha, 0.0)
-        log1m = jnp.log1p(-alpha)
-        cum_excl = _cumsum_lanes(log1m, strict=True)
-        w = alpha * jnp.exp(log_t + cum_excl)                    # [PIX,C]
-        col = chunk[6:9, :]                                      # [3,C]
-        rgb = rgb + jax.lax.dot_general(
-            w, col, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)                  # [PIX,3]
-        log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)    # [PIX,1]
-        return log_t, rgb
+        slot = jax.lax.rem(ci, 2)
+        # prefetch the next chunk while this one computes (double buffering)
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma(1 - slot, ci + 1).start()
+        dma(slot, ci).wait()
+
+        def compute(carry):
+            log_t, rgb = carry
+            ev = _chunk_alphas(chunk[slot], px, py)
+            alpha = ev["alpha"]
+            log1m = jnp.log1p(-alpha)
+            # early-termination prefix: include i iff logT through i >= eps
+            cum_incl = _cumsum_lanes(log1m, strict=False)
+            include = (log_t + cum_incl) >= LOG_T_EPS
+            alpha = jnp.where(include, alpha, 0.0)
+            log1m = jnp.log1p(-alpha)
+            cum_excl = _cumsum_lanes(log1m, strict=True)
+            w = alpha * jnp.exp(log_t + cum_excl)                # [PIX,C]
+            col = chunk[slot, 6:9, :]                            # [3,C]
+            rgb = rgb + jax.lax.dot_general(
+                w, col, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)              # [PIX,3]
+            log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
+            return log_t, rgb
+
+        # skip compute once every pixel is saturated (CUDA early termination)
+        return jax.lax.cond(jnp.max(log_t) >= LOG_T_EPS, compute,
+                            lambda c: c, (log_t, rgb))
 
     log_t0 = jnp.zeros((PIX, 1), jnp.float32)
     rgb0 = jnp.zeros((PIX, 3), jnp.float32)
     log_t, rgb = jax.lax.fori_loop(0, nchunks, body, (log_t0, rgb0))
 
-    out_ref[0, :, 0:3] = rgb
-    out_ref[0, :, 3] = jnp.exp(log_t)[:, 0]
-    out_ref[0, :, 4] = log_t[:, 0]
-    out_ref[0, :, 5:OUTC] = jnp.zeros((PIX, OUTC - 5), jnp.float32)
+    out_ref[j, :, 0:3] = rgb
+    out_ref[j, :, 3] = jnp.exp(log_t)[:, 0]
+    out_ref[j, :, 4] = log_t[:, 0]
+    out_ref[j, :, 5:OUTC] = jnp.zeros((PIX, OUTC - 5), jnp.float32)
+
+
+TILES_PER_STEP = 8   # grid steps carry fixed overhead (~30 us); batch tiles
 
 
 def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
                          n_tiles: int, tiles_x: int, tile_size: int,
                          chunk_size: int, interpret: bool,
                          row_offset: int = 0) -> jnp.ndarray:
-    """packed [PACK, B_pad] f32, tile_bounds [n_tiles+1] i32 → [n_tiles, PIX, OUTC].
+    """packed [PACK, B_pad] f32, tile_bounds [n_tiles_pad+1] i32 →
+    [n_tiles_pad, PIX, OUTC] with n_tiles_pad = ceil(n_tiles/TILES_PER_STEP).
 
     Output channels: 0-2 accumulated RGB (no background), 3 final T, 4 final logT.
     """
+    tb = TILES_PER_STEP
+    n_steps = -(-n_tiles // tb)
+    n_pad = n_steps * tb
+    # padded tiles get empty segments
+    tile_bounds = jnp.concatenate(
+        [tile_bounds,
+         jnp.broadcast_to(tile_bounds[-1:], (n_pad - n_tiles,))])
     kernel = functools.partial(_fwd_kernel, chunk_size=chunk_size,
                                tiles_x=tiles_x, tile_size=tile_size,
-                               row_offset=row_offset)
+                               row_offset=row_offset, tiles_per_step=tb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, PIX, OUTC), lambda i, b: (i, 0, 0),
+        out_specs=pl.BlockSpec((tb, PIX, OUTC), lambda i, b: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((PACK, chunk_size), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, PACK, chunk_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, PIX, OUTC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, PIX, OUTC), jnp.float32),
         interpret=interpret,
     )(tile_bounds, packed)
 
@@ -171,78 +208,109 @@ def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
 def _bwd_kernel(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                 chunk, gchunk, sem_in, sem_out, *,
                 chunk_size: int, tiles_x: int, tile_size: int,
-                row_offset: int):
-    t = pl.program_id(0)
+                row_offset: int, tiles_per_step: int):
+    step = pl.program_id(0)
+    C = chunk_size
+    for j in range(tiles_per_step):
+        t = step * tiles_per_step + j
+        _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
+                      chunk, gchunk, sem_in, sem_out, t, j, C, tiles_x,
+                      tile_size, row_offset)
+
+
+def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
+                  chunk, gchunk, sem_in, sem_out, t, j, C, tiles_x,
+                  tile_size, row_offset):
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
     px, py = _tile_pixel_coords(t, tiles_x, tile_size, row_offset)
-    C = chunk_size
     nchunks = (end - start) // C
 
-    d_rgb = cot_ref[0, :, 0:3]                       # [PIX,3] dL/d accum rgb
-    g_t = cot_ref[0, :, 3:4]                         # [PIX,1] dL/dT_final
-    final_rgb = fwd_ref[0, :, 0:3]                   # [PIX,3]
-    final_t = fwd_ref[0, :, 3:4]                     # [PIX,1]
+    d_rgb = cot_ref[j, :, 0:3]                       # [PIX,3] dL/d accum rgb
+    g_t = cot_ref[j, :, 3:4]                         # [PIX,1] dL/dT_final
+    final_rgb = fwd_ref[j, :, 0:3]                   # [PIX,3]
+    final_t = fwd_ref[j, :, 3:4]                     # [PIX,1]
     # q_p = (C_total · dL/dC)_p
     q = jnp.sum(final_rgb * d_rgb, axis=1, keepdims=True)   # [PIX,1]
 
+    def dma_in(slot, ci):
+        off = pl.multiple_of(start + ci * C, 128)
+        return pltpu.make_async_copy(packed_hbm.at[:, pl.ds(off, C)],
+                                     chunk.at[slot], sem_in.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
     def body(ci, carry):
         log_t, pref_u = carry
+        slot = jax.lax.rem(ci, 2)
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma_in(1 - slot, ci + 1).start()
+        dma_in(slot, ci).wait()
+
+        def compute(carry):
+            log_t, pref_u = carry
+            ev = _chunk_alphas(chunk[slot], px, py)
+            alpha = ev["alpha"]
+            log1m = jnp.log1p(-alpha)
+            cum_incl = _cumsum_lanes(log1m, strict=False)
+            include = (log_t + cum_incl) >= LOG_T_EPS
+            alpha = jnp.where(include, alpha, 0.0)
+            log1m = jnp.log1p(-alpha)
+            cum_excl = _cumsum_lanes(log1m, strict=True)
+            T_i = jnp.exp(log_t + cum_excl)          # transmittance before i
+            w = alpha * T_i                          # [PIX,C]
+
+            col = chunk[slot, 6:9, :]                # [3,C]
+            u = jnp.dot(d_rgb, col, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)      # [PIX,C]
+            uw = u * w
+            prefix = pref_u + _cumsum_lanes(uw, strict=False)
+            s_dot = q - prefix                       # (S_i · dL/dC) per (p,i)
+            inv_1m = 1.0 / (1.0 - alpha)
+            d_alpha = T_i * u - s_dot * inv_1m - (g_t * final_t) * inv_1m
+
+            active = (alpha > 0.0) & (ev["raw"] < MAX_ALPHA)
+            d_alpha = jnp.where(active, d_alpha, 0.0)
+            d_gauss = d_alpha * ev["op"]
+            d_power = d_gauss * ev["gauss"]
+
+            dx, dy = ev["dx"], ev["dy"]
+            ca, cb, cc = ev["ca"], ev["cb"], ev["cc"]
+            rows = [
+                jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=0,
+                        keepdims=True),
+                jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=0,
+                        keepdims=True),
+                jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True),
+                jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True),
+                jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True),
+                jnp.sum(d_alpha * ev["gauss"], axis=0, keepdims=True),
+            ]
+            d_col = jax.lax.dot_general(
+                d_rgb, w, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # [3,C]
+            gvals = jnp.concatenate(
+                rows + [d_col, jnp.zeros((PACK - 9, C), jnp.float32)], axis=0)
+            log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
+            pref_u = pref_u + jnp.sum(uw, axis=1, keepdims=True)
+            return log_t, pref_u, gvals
+
+        def saturated(carry):
+            log_t, pref_u = carry
+            return log_t, pref_u, jnp.zeros((PACK, C), jnp.float32)
+
+        log_t, pref_u, gvals = jax.lax.cond(
+            jnp.max(log_t) >= LOG_T_EPS, compute, saturated, (log_t, pref_u))
+        gchunk[:, :] = gvals
         off = pl.multiple_of(start + ci * C, 128)
-        dma = pltpu.make_async_copy(packed_hbm.at[:, pl.ds(off, C)], chunk, sem_in)
-        dma.start()
-        dma.wait()
-        ev = _chunk_alphas(chunk[:, :], px, py)
-        alpha = ev["alpha"]
-        log1m = jnp.log1p(-alpha)
-        cum_incl = _cumsum_lanes(log1m, strict=False)
-        include = (log_t + cum_incl) >= LOG_T_EPS
-        alpha = jnp.where(include, alpha, 0.0)
-        log1m = jnp.log1p(-alpha)
-        cum_excl = _cumsum_lanes(log1m, strict=True)
-        T_i = jnp.exp(log_t + cum_excl)              # transmittance before i
-        w = alpha * T_i                              # [PIX,C]
-
-        col = chunk[6:9, :]                          # [3,C]
-        u = jnp.dot(d_rgb, col, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)          # [PIX,C]
-        uw = u * w
-        prefix = pref_u + _cumsum_lanes(uw, strict=False)
-        s_dot = q - prefix                           # (S_i · dL/dC) per (p,i)
-        inv_1m = 1.0 / (1.0 - alpha)
-        d_alpha = T_i * u - s_dot * inv_1m - (g_t * final_t) * inv_1m
-
-        active = (alpha > 0.0) & (ev["raw"] < MAX_ALPHA)
-        d_alpha = jnp.where(active, d_alpha, 0.0)
-        d_gauss = d_alpha * ev["op"]
-        d_power = d_gauss * ev["gauss"]
-
-        dx, dy = ev["dx"], ev["dy"]
-        ca, cb, cc = ev["ca"], ev["cb"], ev["cc"]
-        zero_row = jnp.zeros((1, C), jnp.float32)
-        rows = [
-            jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=0, keepdims=True),
-            jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=0, keepdims=True),
-            jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True),
-            jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True),
-            jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True),
-            jnp.sum(d_alpha * ev["gauss"], axis=0, keepdims=True),
-        ]
-        d_col = jax.lax.dot_general(
-            d_rgb, w, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)      # [3,C]
-        gchunk[0:6, :] = jnp.concatenate(rows, axis=0)
-        gchunk[6:9, :] = d_col
-        gchunk[9:PACK, :] = jnp.broadcast_to(zero_row, (PACK - 9, C))
-
         dma_out = pltpu.make_async_copy(gchunk, grad_hbm.at[:, pl.ds(off, C)],
                                         sem_out)
         dma_out.start()
         dma_out.wait()
-
-        log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
-        pref_u = pref_u + jnp.sum(uw, axis=1, keepdims=True)
         return log_t, pref_u
 
     init = (jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
@@ -255,24 +323,30 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
                           chunk_size: int, interpret: bool,
                           row_offset: int = 0) -> jnp.ndarray:
     """Per-instance gradient table [PACK, B_pad] (same layout as packed)."""
+    tb = TILES_PER_STEP
+    n_steps = -(-n_tiles // tb)
+    n_pad = n_steps * tb
+    tile_bounds = jnp.concatenate(
+        [tile_bounds,
+         jnp.broadcast_to(tile_bounds[-1:], (n_pad - n_tiles,))])
     kernel = functools.partial(_bwd_kernel, chunk_size=chunk_size,
                                tiles_x=tiles_x, tile_size=tile_size,
-                               row_offset=row_offset)
+                               row_offset=row_offset, tiles_per_step=tb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, PIX, OUTC), lambda i, b: (i, 0, 0),
+            pl.BlockSpec((tb, PIX, OUTC), lambda i, b: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, OUTC), lambda i, b: (i, 0, 0),
+            pl.BlockSpec((tb, PIX, OUTC), lambda i, b: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
+            pltpu.VMEM((2, PACK, chunk_size), jnp.float32),
             pltpu.VMEM((PACK, chunk_size), jnp.float32),
-            pltpu.VMEM((PACK, chunk_size), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
