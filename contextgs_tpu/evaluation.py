@@ -66,26 +66,28 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
     return run
 
 
-def lpips_available() -> bool:
-    return False  # no pretrained VGG weights in this environment (no egress)
-
-
 def evaluate_images(renders: list, gts: list) -> dict:
-    """PSNR/SSIM(/LPIPS) over [3,H,W] float arrays (ref train.py:502-569)."""
-    psnrs, ssims = [], []
+    """PSNR/SSIM(/LPIPS) over [3,H,W] float arrays (ref train.py:502-569).
+
+    LPIPS requires exported VGG weights (CONTEXTGS_LPIPS_WEIGHTS, see
+    ops/lpips.py) — unavailable in zero-egress environments → None."""
+    from contextgs_tpu.ops.lpips import load_weights, lpips as lpips_fn
+
+    psnrs, ssims, lpipss = [], [], []
     jssim = jax.jit(ssim_fn)
     jpsnr = jax.jit(psnr_fn)
+    lw = load_weights()
+    jlpips = jax.jit(lambda a, b: lpips_fn(lw, a, b)) if lw else None
     for r, g in zip(renders, gts):
         r = jnp.clip(jnp.asarray(r), 0, 1)
         g = jnp.asarray(g)
         psnrs.append(float(jpsnr(r, g)))
         ssims.append(float(jssim(r, g)))
+        if jlpips is not None:
+            lpipss.append(float(jlpips(r, g)))
     out = dict(PSNR=float(np.mean(psnrs)), SSIM=float(np.mean(ssims)),
-               per_view=dict(PSNR=psnrs, SSIM=ssims))
-    if lpips_available():
-        pass  # gated: no pretrained weights offline
-    else:
-        out["LPIPS"] = None
+               per_view=dict(PSNR=psnrs, SSIM=ssims, LPIPS=lpipss),
+               LPIPS=float(np.mean(lpipss)) if lpipss else None)
     return out
 
 

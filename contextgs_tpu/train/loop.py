@@ -96,8 +96,31 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
     ts = TrainerState(model=model, adam=adam, voxel_size=voxel_size,
                       spatial_lr_scale=scene.radius,
                       rng=np.random.default_rng(cfg.seed))
+    if cfg.start_checkpoint:
+        # resume (ref train.py:112-114 --start_checkpoint)
+        import pickle
+        from contextgs_tpu.utils.checkpoint import load_pytree
+        with open(cfg.start_checkpoint, "rb") as f:
+            raw = pickle.load(f)
+        cap = raw["leaves"][0].shape[0]
+        if cap != model.buffers.alive.shape[0]:
+            model, adam = grow_capacity(model, adam, cap)
+        ckpt = load_pytree(cfg.start_checkpoint,
+                           dict(params=model.params, buffers=model.buffers,
+                                adam=adam))
+        with open(cfg.start_checkpoint.replace(".pkl", ".meta.pkl"), "rb") as f:
+            meta = pickle.load(f)
+        ts.model = SceneModel(ckpt["params"], ckpt["buffers"])
+        ts.adam = ckpt["adam"]
+        ts.voxel_size = meta["voxel_size"]
+        ts.level_scales = meta["level_scales"]
+        ts.spatial_lr_scale = meta["spatial_lr_scale"]
+        ts.iteration = meta["iteration"]
+        model = ts.model
+        log.info("resumed from %s at iteration %d", cfg.start_checkpoint,
+                 ts.iteration)
     log.info("init: %d anchors (capacity %d), voxel_size=%.6f",
-             st.n_alive(model), model.buffers.alive.shape[0], voxel_size)
+             st.n_alive(model), model.buffers.alive.shape[0], ts.voxel_size)
 
     cams = scene.train_cameras
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background

@@ -61,6 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--level_num", type=int, default=3)
     p.add_argument("--disable_hyper", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--start_checkpoint", default=None)
     p.add_argument("--budget", type=int, default=1 << 20,
                    help="tile-instance budget for the rasterizer")
     p.add_argument("--backend", default="auto")
@@ -99,7 +100,7 @@ def config_from_args(args) -> TrainConfig:
     return TrainConfig(model=model, opt=opt, pipe=pipe,
                        source_path=os.path.abspath(args.source_path),
                        model_path=args.model_path, images=args.images,
-                       seed=args.seed,
+                       seed=args.seed, start_checkpoint=args.start_checkpoint,
                        save_iterations=(args.iterations,))
 
 
