@@ -43,6 +43,18 @@ from contextgs_tpu.models.quant import ANCHOR_ROUND_DIGITS, CLAMP_STEPS, Q_ANCHO
 from contextgs_tpu.utils.checkpoint import load_pytree, save_pytree
 
 CHUNK = 1000          # anchors per entropy-coding chunk (ref MAX_batch_size)
+# Per-element CDF windows. The reference builds [N, range] tables over the raw
+# chunk min/max (encodings.py:91-97), which explodes to GBs when a stream has
+# outliers (SURVEY.md §7 hard-part 4). Here each element gets a window of W
+# symbols centred at round(μ/Q) — its own predicted mean — with W chosen per
+# stream-chunk as the smallest power of two covering the residuals |s−μ/Q|
+# (min 64, capped at MAX_WINDOW and recorded in the metadata). The window base
+# is recomputed identically by the decoder from the same μ; values beyond the
+# capped window saturate to its edge (for a trained model σ ≪ W·Q/2, so
+# neither rate nor distortion is affected — the gaussian mass outside is ~0).
+MIN_WINDOW = 64
+MAX_WINDOW = 2048
+MAX_SYMBOL_RANGE = 1 << 12   # secondary guard for the hyper stream tables
 
 
 class DecodedScene(NamedTuple):
@@ -66,43 +78,53 @@ def _dequantize_anchor_np(codes: np.ndarray, bmin: np.ndarray,
     return (codes.astype(np.float32) * interval + bmin.astype(np.float32))
 
 
-def _gaussian_cdf_rows(mean: np.ndarray, scale: np.ndarray, q: np.ndarray,
-                       lo: int, hi: int) -> np.ndarray:
-    """Float64 CDF rows over symbols lo..hi: bin edges at (s±0.5)·Q."""
-    edges = (np.arange(lo, hi + 2, dtype=np.float64) - 0.5)[None, :]
-    z = (edges * q[:, None] - mean[:, None]) / np.maximum(scale, 1e-9)[:, None]
+def _window_base(mean: np.ndarray, q: np.ndarray, w: int) -> np.ndarray:
+    """Per-element window base symbol = round(μ/Q) − W/2, recomputed
+    identically by encoder and decoder (host float64)."""
+    return (np.round(mean.astype(np.float64) / q.astype(np.float64))
+            .astype(np.int64) - w // 2)
+
+
+def _windowed_cdf_rows(mean: np.ndarray, scale: np.ndarray, q: np.ndarray,
+                       base: np.ndarray, w: int) -> np.ndarray:
+    """Float64 CDF rows over each element's own symbol window [base, base+W)."""
+    offs = (np.arange(w + 1, dtype=np.float64) - 0.5)[None, :]
+    edges = (base[:, None] + offs) * q[:, None].astype(np.float64)
+    z = (edges - mean[:, None]) / np.maximum(scale, 1e-9)[:, None]
     c = ndtr(z)
     c = (c - c[:, :1]) / np.maximum(c[:, -1:] - c[:, :1], 1e-12)
     return np.clip(c, 0.0, 1.0)
 
 
-def _symbols(x: np.ndarray, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """STE-clamped symbols and dequantized float32 values (shared by both
-    sides; ref STE_multistep + encoder_gaussian, encodings.py:83-115,203-216)."""
+def _code_stream(x, mean, scale, q):
+    """Encode one flat stream → (bytes, window, dequantized). Symbols are
+    STE-clamped (ref encodings.py:203-216) then clipped into the per-element
+    window; the chunk's window width adapts to the residual spread."""
+    if x.size == 0:
+        return b"", MIN_WINDOW, x.astype(np.float32)
     x = np.clip(x, -CLAMP_STEPS * q, CLAMP_STEPS * q)
     s = np.round(x.astype(np.float64) / q).astype(np.int64)
-    deq = (s.astype(np.float32) * q.astype(np.float32))
-    return s, deq
+    mu_sym = np.round(mean.astype(np.float64) / q.astype(np.float64)).astype(np.int64)
+    spread = int(np.abs(s - mu_sym).max()) if s.size else 0
+    w = MIN_WINDOW
+    while w < 2 * spread + 2 and w < MAX_WINDOW:
+        w *= 2
+    base = _window_base(mean, q, w)
+    win = np.clip(s - base, 0, w - 1).astype(np.int32)
+    deq = ((base + win).astype(np.float32) * q.astype(np.float32))
+    rows = coder.quantize_cdf(_windowed_cdf_rows(mean, scale, q, base, w))
+    data = coder.encode(rows, win)
+    return data, w, deq
 
 
-def _code_stream(x, mean, scale, q):
-    """Encode one flat stream → (bytes, min_sym, max_sym, dequantized)."""
-    sym, deq = _symbols(x, q)
-    if sym.size == 0:
-        return b"", 0, 0, deq
-    lo, hi = int(sym.min()), int(sym.max())
-    rows = coder.quantize_cdf(_gaussian_cdf_rows(mean, scale, q, lo, hi))
-    data = coder.encode(rows, (sym - lo).astype(np.int32))
-    return data, lo, hi, deq
-
-
-def _decode_stream(data, mean, scale, q, lo, hi):
+def _decode_stream(data, mean, scale, q, w: int):
     n = mean.shape[0]
     if n == 0:
         return np.zeros(0, np.float32)
-    rows = coder.quantize_cdf(_gaussian_cdf_rows(mean, scale, q, lo, hi))
-    sym = coder.decode(rows, data).astype(np.int64) + lo
-    return sym.astype(np.float32) * q.astype(np.float32)
+    base = _window_base(mean, q, w)
+    rows = coder.quantize_cdf(_windowed_cdf_rows(mean, scale, q, base, w))
+    win = coder.decode(rows, data).astype(np.int64)
+    return (base + win).astype(np.float32) * q.astype(np.float32)
 
 
 def _ep_host(ep, idx):
@@ -143,7 +165,8 @@ def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
 
     # --- hyper latent: factorized prior, per-channel streams (ref :1082-1109) ---
     hyper = np.asarray(params.hyper_latent)[idx_keep]
-    hyper_sym = np.round(hyper).astype(np.int32)
+    hyper_sym = np.clip(np.round(hyper), -(MAX_SYMBOL_RANGE // 2),
+                        MAX_SYMBOL_RANGE // 2).astype(np.int32)
     if disable_hyper:
         hyper_sym = np.zeros_like(hyper_sym)
     h_lo = int(hyper_sym.min()) - 1 if n else 0
@@ -211,24 +234,24 @@ def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
             qs = np.repeat(eph["q_scaling"][sl], 6, axis=1).reshape(-1)
             qo = np.repeat(eph["q_offsets"][sl], 3 * cfg.n_offsets,
                            axis=1).reshape(-1)
-            d_f, lo_f, hi_f, deq_f = _code_stream(
+            d_f, w_f, deq_f = _code_stream(
                 feat_np[rows].reshape(-1), eph["mean_feat"][sl].reshape(-1),
                 eph["scale_feat"][sl].reshape(-1), qf)
-            d_s, lo_s, hi_s, deq_s = _code_stream(
+            d_s, w_s, deq_s = _code_stream(
                 scaling_np[rows].reshape(-1),
                 eph["mean_scaling"][sl].reshape(-1),
                 eph["scale_scaling"][sl].reshape(-1), qs)
             m3 = np.repeat(masks[rows], 3, axis=1).reshape(-1).astype(bool)
-            d_o, lo_o, hi_o, deq_o = _code_stream(
+            d_o, w_o, deq_o = _code_stream(
                 offsets_np[rows].reshape(-1)[m3],
                 eph["mean_offsets"][sl].reshape(-1)[m3],
                 eph["scale_offsets"][sl].reshape(-1)[m3], qo[m3])
             streams["feat"].append(d_f)
             streams["scaling"].append(d_s)
             streams["offsets"].append(d_o)
-            chunks.append(dict(n=nn, feat=(len(d_f), lo_f, hi_f),
-                               scaling=(len(d_s), lo_s, hi_s),
-                               offsets=(len(d_o), lo_o, hi_o)))
+            chunks.append(dict(n=nn, feat=(len(d_f), w_f),
+                               scaling=(len(d_s), w_s),
+                               offsets=(len(d_o), w_o)))
             feat_deq_level[sl] = deq_f.reshape(nn, cfg.feat_dim)
             scaling_deq_level[sl] = deq_s.reshape(nn, 6)
             off_full = np.zeros(nn * 3 * cfg.n_offsets, np.float32)
@@ -356,27 +379,27 @@ def decode_scene(out_dir: str, cfg: ModelConfig, mlps_like=None,
             qs = np.repeat(eph["q_scaling"][sl], 6, axis=1).reshape(-1)
             qo = np.repeat(eph["q_offsets"][sl], 3 * cfg.n_offsets,
                            axis=1).reshape(-1)
-            ln, lo, hi = ch["feat"]
+            ln, w = ch["feat"]
             feat_out[rows] = _decode_stream(
                 data[("feat", li)][pos["feat"]:pos["feat"] + ln],
                 eph["mean_feat"][sl].reshape(-1),
-                eph["scale_feat"][sl].reshape(-1), qf, lo, hi
+                eph["scale_feat"][sl].reshape(-1), qf, w
             ).reshape(ch["n"], cfg.feat_dim)
             pos["feat"] += ln
-            ln, lo, hi = ch["scaling"]
+            ln, w = ch["scaling"]
             scaling_out[rows] = _decode_stream(
                 data[("scaling", li)][pos["scaling"]:pos["scaling"] + ln],
                 eph["mean_scaling"][sl].reshape(-1),
-                eph["scale_scaling"][sl].reshape(-1), qs, lo, hi
+                eph["scale_scaling"][sl].reshape(-1), qs, w
             ).reshape(ch["n"], 6)
             pos["scaling"] += ln
             m3 = np.repeat(masks[rows], 3, axis=1).reshape(-1).astype(bool)
-            ln, lo, hi = ch["offsets"]
+            ln, w = ch["offsets"]
             off = np.zeros(ch["n"] * 3 * cfg.n_offsets, np.float32)
             off[m3] = _decode_stream(
                 data[("offsets", li)][pos["offsets"]:pos["offsets"] + ln],
                 eph["mean_offsets"][sl].reshape(-1)[m3],
-                eph["scale_offsets"][sl].reshape(-1)[m3], qo[m3], lo, hi)
+                eph["scale_offsets"][sl].reshape(-1)[m3], qo[m3], w)
             offsets_out[rows] = off.reshape(ch["n"], -1)
             pos["offsets"] += ln
         for name in ("feat", "scaling", "offsets"):

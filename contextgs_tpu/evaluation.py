@@ -36,12 +36,21 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
     decoded_version path (gaussian_renderer/__init__.py:103-104)."""
     mcfg, pipe = cfg.model, cfg.pipe
     params = _DecodedParams(mlps=dec.mlps)
-    anchor = jnp.asarray(dec.anchor)
-    feat = jnp.asarray(dec.feat)
-    scaling = jnp.asarray(dec.scaling)
-    offsets = jnp.asarray(dec.offsets)
-    masks = jnp.asarray(dec.masks)
-    n = anchor.shape[0]
+    # pad the anchor count to a 4096 bucket so renderer compiles are reused
+    # across runs/scenes with similar sizes (each compile is minutes here)
+    n_raw = dec.anchor.shape[0]
+    n = max(((n_raw + 4095) // 4096) * 4096, 4096)
+
+    def pad(x):
+        out = np.zeros((n,) + x.shape[1:], np.float32)
+        out[:n_raw] = x
+        return jnp.asarray(out)
+
+    anchor = pad(dec.anchor)
+    feat = pad(dec.feat)
+    scaling = pad(dec.scaling)
+    offsets = pad(dec.offsets)
+    masks = pad(dec.masks)   # padded slots: mask 0 → no gaussians
     backend = pipe.backend if pipe.backend != "auto" else "pallas"
 
     @jax.jit

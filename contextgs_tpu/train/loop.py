@@ -46,6 +46,40 @@ class TrainerState:
         default_factory=lambda: np.random.default_rng(0))
 
 
+_BITS_FNS: dict = {}
+
+
+def _estimate_bits(model: SceneModel, cfg: TrainConfig, ts: "TrainerState",
+                   key) -> dict:
+    """Model-estimated bitstream size in MB per stream (+ MLP fp32 bits)."""
+    from contextgs_tpu.models.context import estimate_total_bits
+    from contextgs_tpu.models.levels import build_level_maps
+    from contextgs_tpu.models.mlps import count_mlp_params
+
+    p, b = model.params, model.buffers
+    cache_key = (b.alive.shape[0], ts.voxel_size,
+                 tuple(ts.level_scales or ()), id(cfg))
+    if cache_key not in _BITS_FNS:
+        scales = tuple(ts.level_scales or ())
+        vox = ts.voxel_size
+
+        @jax.jit
+        def fn(p, b, key):
+            anchor_q = st.get_anchor(p, b)
+            maps = build_level_maps(anchor_q, b.alive, vox, scales,
+                                    cfg.model.level_num)
+            return estimate_total_bits(p, b, cfg.model, maps, anchor_q, key,
+                                       disable_hyper=cfg.opt.disable_hyper)
+        _BITS_FNS[cache_key] = fn
+    bits = _BITS_FNS[cache_key](p, b, key)
+    mb = {k: round(float(v) / 8 / 1024 / 1024, 4) for k, v in bits.items()}
+    mlp_bits = (count_mlp_params(p.mlps)
+                + sum(x.size for x in jax.tree.leaves(p.prior))) * 32
+    mb["mlp"] = round(mlp_bits / 8 / 1024 / 1024, 4)
+    mb["total"] = round(sum(mb.values()), 4)
+    return mb
+
+
 def phase_of(it: int, cfg: TrainConfig) -> str:
     if it <= cfg.opt.noise_from:
         return "plain"
@@ -208,6 +242,11 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
             log.info("iter %d [%s]: loss=%.5f psnr=%.2f bpp=%.4f anchors=%d",
                      it, phase, float(metrics.loss), float(metrics.psnr),
                      float(metrics.bit_per_param), st.n_alive(model))
+        if phase == "context" and it % 2000 == 0:
+            # model-estimated bitstream size (ref train.py:178-197 logs the
+            # per-stream estimate every 2000 iters)
+            est = _estimate_bits(model, cfg, ts, key)
+            log.info("iter %d size estimate: %s", it, est)
 
         if it in cfg.checkpoint_iterations or it in cfg.save_iterations:
             if cfg.model_path:
