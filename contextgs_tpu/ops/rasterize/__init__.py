@@ -110,8 +110,10 @@ def rasterize(
     tiles_x = (width + tile_size - 1) // tile_size
     tiles_y = (height + tile_size - 1) // tile_size
     row0 = 0 if tile_band is None else tile_band[0]
-    band_rows = tiles_y if tile_band is None else min(
-        tile_band[1], max(tiles_y - row0, 0))
+    # with a band, keep the full requested row count (bands may extend past
+    # the image so every shard_map branch has identical shapes); those rows
+    # simply render background
+    band_rows = tiles_y if tile_band is None else tile_band[1]
     n_tiles = tiles_x * band_rows
 
     proj = project_gaussians(means3d, scales, quats, world_view, full_proj,
@@ -128,7 +130,8 @@ def rasterize(
     inst = expand_and_sort(proj, tiles_x, band_rows, budget, align=chunk_size,
                            tile_row_offset=row0)
 
-    band_h = min(height - row0 * tile_size, band_rows * tile_size)
+    band_h = (min(height - row0 * tile_size, band_rows * tile_size)
+              if tile_band is None else band_rows * tile_size)
     if backend == "reference":
         img, final_t = blend_reference(proj, inst, colors, opacities,
                                        width, height, tile_size, bg=None,

@@ -126,7 +126,9 @@ def project_gaussians(
     tiles_y = (height + tile_size - 1) // tile_size
     row_lo, row_hi = 0, tiles_y
     if tile_band is not None:
-        row_lo = tile_band[0]
+        # bands may lie partly/fully outside the image (uniform shapes across
+        # shards); clamp keeps lo <= hi, fully-outside bands get empty rects
+        row_lo = min(tile_band[0], tiles_y)
         row_hi = min(tile_band[0] + tile_band[1], tiles_y)
     m2i = jax.lax.stop_gradient(means2d)
     r = jax.lax.stop_gradient(radius_f)

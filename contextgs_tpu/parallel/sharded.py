@@ -152,7 +152,7 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, width: int,
                     xyz, scaling, rot, color, opacity,
                     world_view=cam["world_view"], full_proj=cam["full_proj"],
                     tanfovx=cam["tanfovx"], tanfovy=cam["tanfovy"],
-                    width=width, height=height_pad, bg=bg,
+                    width=width, height=height, bg=bg,
                     tile_size=ts_px, budget=local_budget,
                     chunk_size=pipe.chunk_size, backend=backend,
                     valid=gvalid, tile_band=(row0, rows_per))
