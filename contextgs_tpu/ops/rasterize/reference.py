@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from contextgs_tpu.ops.rasterize.common import (LOG_T_EPS, alpha_from_power,
+from contextgs_tpu.ops.rasterize.common import (T_EPS, alpha_from_power,
                                                 gaussian_power)
 from contextgs_tpu.ops.rasterize.projection import ProjectedGaussians
 from contextgs_tpu.ops.rasterize.sorting import TileInstances
@@ -58,18 +58,20 @@ def blend_reference(
     in_tile = (inst.tile_ids[:, None, None] == pix_tile[None]) & inst.valid[:, None, None]
     alpha = jnp.where(in_tile, alpha, 0.0)
 
-    log1m = jnp.log1p(-alpha)
-    cum_incl = jnp.cumsum(log1m, axis=0)                   # log T after instance i
-    include = cum_incl >= LOG_T_EPS                        # early-termination prefix
+    # multiplicative transmittance recurrence — the same domain as the Pallas
+    # kernels (product-domain thresholds must agree or borderline instances
+    # at T≈1e-4 flip inclusion between oracle and kernel)
+    one_m = 1.0 - alpha
+    cum_incl = jnp.cumprod(one_m, axis=0)                  # T after instance i
+    include = cum_incl >= T_EPS                            # early-termination prefix
     alpha = jnp.where(include, alpha, 0.0)
-    log1m = jnp.log1p(-alpha)
-    cum_incl = jnp.cumsum(log1m, axis=0)
-    cum_excl = cum_incl - log1m                            # log T before instance i
-    w = alpha * jnp.exp(cum_excl)                          # [B,H,W]
+    one_m = 1.0 - alpha
+    cum_incl = jnp.cumprod(one_m, axis=0)
+    w = alpha * (cum_incl / one_m)                         # [B,H,W]
 
     image = jnp.einsum("bc,bhw->chw", col, w,
                        precision=jax.lax.Precision.HIGHEST)
-    final_t = jnp.exp(cum_incl[-1]) if w.shape[0] > 0 else jnp.ones_like(PX)
+    final_t = cum_incl[-1] if w.shape[0] > 0 else jnp.ones_like(PX)
     if bg is not None:
         image = image + final_t[None] * bg[:, None, None]
     return image, final_t

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from contextgs_tpu.ops.rasterize.common import LOG_T_EPS, ALPHA_EPS, MAX_ALPHA
+from contextgs_tpu.ops.rasterize.common import (ALPHA_EPS, LOG_T_EPS,  # noqa: F401
+                                                MAX_ALPHA, T_EPS)
 
 PACK = 16          # instance component rows
 PIX = 256          # pixels per 16x16 tile
@@ -64,6 +65,22 @@ def _cumsum_lanes(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
         out = out + jnp.where(lane >= shift, rolled, 0.0)
         shift *= 2
     return out - x if strict else out
+
+
+def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix PRODUCT along lanes (Hillis-Steele with multiplies).
+    Keeps the transmittance recurrence out of the log domain — saves two
+    log1p and one exp per element per chunk; T is bounded below by the 1e-4
+    early-termination threshold so f32 products cannot underflow."""
+    c = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    out = x
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(out, shift, axis=len(x.shape) - 1)
+        out = out * jnp.where(lane >= shift, rolled, 1.0)
+        shift *= 2
+    return out
 
 
 def _chunk_alphas(data, px, py):
@@ -118,7 +135,7 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
         dma(0, 0).start()
 
     def body(ci, carry):
-        log_t, rgb = carry
+        t_run, rgb = carry
         slot = jax.lax.rem(ci, 2)
         # prefetch the next chunk while this one computes (double buffering)
         @pl.when(ci + 1 < nchunks)
@@ -127,36 +144,37 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
         dma(slot, ci).wait()
 
         def compute(carry):
-            log_t, rgb = carry
+            t_run, rgb = carry
             ev = _chunk_alphas(chunk[slot], px, py)
             alpha = ev["alpha"]
-            log1m = jnp.log1p(-alpha)
-            # early-termination prefix: include i iff logT through i >= eps
-            cum_incl = _cumsum_lanes(log1m, strict=False)
-            include = (log_t + cum_incl) >= LOG_T_EPS
+            one_m = 1.0 - alpha
+            # early-termination prefix: include i iff T through i >= eps
+            cum_incl = _cumprod_lanes(one_m)
+            include = (t_run * cum_incl) >= T_EPS
             alpha = jnp.where(include, alpha, 0.0)
-            log1m = jnp.log1p(-alpha)
-            cum_excl = _cumsum_lanes(log1m, strict=True)
-            w = alpha * jnp.exp(log_t + cum_excl)                # [PIX,C]
+            one_m = 1.0 - alpha
+            cum_incl = _cumprod_lanes(one_m)
+            cum_excl = cum_incl / one_m          # 1-α ≥ 0.01, exact enough
+            w = alpha * (t_run * cum_excl)                       # [PIX,C]
             col = chunk[slot, 6:9, :]                            # [3,C]
             rgb = rgb + jax.lax.dot_general(
                 w, col, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)              # [PIX,3]
-            log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
-            return log_t, rgb
+            t_run = t_run * cum_incl[:, -1:]
+            return t_run, rgb
 
         # skip compute once every pixel is saturated (CUDA early termination)
-        return jax.lax.cond(jnp.max(log_t) >= LOG_T_EPS, compute,
-                            lambda c: c, (log_t, rgb))
+        return jax.lax.cond(jnp.max(t_run) >= T_EPS, compute,
+                            lambda c: c, (t_run, rgb))
 
-    log_t0 = jnp.zeros((PIX, 1), jnp.float32)
+    t0 = jnp.ones((PIX, 1), jnp.float32)
     rgb0 = jnp.zeros((PIX, 3), jnp.float32)
-    log_t, rgb = jax.lax.fori_loop(0, nchunks, body, (log_t0, rgb0))
+    t_run, rgb = jax.lax.fori_loop(0, nchunks, body, (t0, rgb0))
 
     out_ref[j, :, 0:3] = rgb
-    out_ref[j, :, 3] = jnp.exp(log_t)[:, 0]
-    out_ref[j, :, 4] = log_t[:, 0]
+    out_ref[j, :, 3] = t_run[:, 0]
+    out_ref[j, :, 4] = jnp.log(jnp.maximum(t_run, 1e-30))[:, 0]
     out_ref[j, :, 5:OUTC] = jnp.zeros((PIX, OUTC - 5), jnp.float32)
 
 
@@ -243,7 +261,7 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
         dma_in(0, 0).start()
 
     def body(ci, carry):
-        log_t, pref_u = carry
+        t_run, pref_u = carry
         slot = jax.lax.rem(ci, 2)
         @pl.when(ci + 1 < nchunks)
         def _():
@@ -251,16 +269,16 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
         dma_in(slot, ci).wait()
 
         def compute(carry):
-            log_t, pref_u = carry
+            t_run, pref_u = carry
             ev = _chunk_alphas(chunk[slot], px, py)
             alpha = ev["alpha"]
-            log1m = jnp.log1p(-alpha)
-            cum_incl = _cumsum_lanes(log1m, strict=False)
-            include = (log_t + cum_incl) >= LOG_T_EPS
+            one_m0 = 1.0 - alpha
+            cum_incl = _cumprod_lanes(one_m0)
+            include = (t_run * cum_incl) >= T_EPS
             alpha = jnp.where(include, alpha, 0.0)
-            log1m = jnp.log1p(-alpha)
-            cum_excl = _cumsum_lanes(log1m, strict=True)
-            T_i = jnp.exp(log_t + cum_excl)          # transmittance before i
+            one_m = 1.0 - alpha
+            cum_incl = _cumprod_lanes(one_m)
+            T_i = t_run * (cum_incl / one_m)         # transmittance before i
             w = alpha * T_i                          # [PIX,C]
 
             col = chunk[slot, 6:9, :]                # [3,C]
@@ -295,25 +313,25 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                 preferred_element_type=jnp.float32)  # [3,C]
             gvals = jnp.concatenate(
                 rows + [d_col, jnp.zeros((PACK - 9, C), jnp.float32)], axis=0)
-            log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
+            t_run = t_run * cum_incl[:, -1:]
             pref_u = pref_u + jnp.sum(uw, axis=1, keepdims=True)
-            return log_t, pref_u, gvals
+            return t_run, pref_u, gvals
 
         def saturated(carry):
-            log_t, pref_u = carry
-            return log_t, pref_u, jnp.zeros((PACK, C), jnp.float32)
+            t_run, pref_u = carry
+            return t_run, pref_u, jnp.zeros((PACK, C), jnp.float32)
 
-        log_t, pref_u, gvals = jax.lax.cond(
-            jnp.max(log_t) >= LOG_T_EPS, compute, saturated, (log_t, pref_u))
+        t_run, pref_u, gvals = jax.lax.cond(
+            jnp.max(t_run) >= T_EPS, compute, saturated, (t_run, pref_u))
         gchunk[:, :] = gvals
         off = pl.multiple_of(start + ci * C, 128)
         dma_out = pltpu.make_async_copy(gchunk, grad_hbm.at[:, pl.ds(off, C)],
                                         sem_out)
         dma_out.start()
         dma_out.wait()
-        return log_t, pref_u
+        return t_run, pref_u
 
-    init = (jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
+    init = (jnp.ones((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
     jax.lax.fori_loop(0, nchunks, body, init)
 
 
