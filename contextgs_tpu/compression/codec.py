@@ -155,6 +155,15 @@ def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
     bmin = np.asarray(buffers.bound_min)
     bmax = np.asarray(buffers.bound_max)
 
+    if len(level_scales) < cfg.level_num - 1:
+        # lazily search scales if training never reached the context phase
+        # (ref computes level_scale on first use inside conduct_encoding,
+        # gaussian_model.py:1042)
+        from contextgs_tpu.models.levels import find_divide_scale
+        level_scales = find_divide_scale(
+            np.asarray(params.anchor)[idx_keep], voxel_size, bmin, bmax,
+            cfg.target_ratio, cfg.level_num)
+
     # --- anchors: 16-bit codes, stored raw (ref :1097-1101) ---
     anchors_raw = np.asarray(params.anchor)[idx_keep]
     interval = (bmax - bmin) * Q_ANCHOR + 1e-6

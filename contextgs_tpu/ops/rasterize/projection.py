@@ -93,19 +93,56 @@ def project_gaussians(
     inv_z = 1.0 / safe_z
     inv_z2 = inv_z * inv_z
 
-    zeros = jnp.zeros_like(z)
-    # J: [G,2,3] perspective Jacobian
-    J = jnp.stack([
-        jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
-        jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
-    ], axis=-2)
-    Rv = world_view[:3, :3].T               # world→view rotation
-    T = J @ Rv                              # [G,2,3]
-    cov3d = build_cov3d(scales, quats, scale_modifier)
-    cov2d = jnp.einsum("gij,gjk,glk->gil", T, cov3d, T)
-    cov2d = cov2d + 0.3 * jnp.eye(2, dtype=cov2d.dtype)
+    # EWA cov2d = T Σ Tᵀ with T = J·Rv, fully flattened to [G]-vector ops:
+    # XLA lowers stacked [G,2,3]/[G,3,3] einsums of tiny matrices to
+    # transpose-heavy loops that cost ~7 ms at 200k gaussians; the explicit
+    # scalar expansion is pure VPU elementwise work (<1 ms).
+    Rv = world_view[:3, :3].T               # world→view rotation (constant 3x3)
+    fxi = focal_x * inv_z
+    fyi = focal_y * inv_z
+    gx = -focal_x * tx * inv_z2
+    gy = -focal_y * ty * inv_z2
+    # T rows: T0k = fxi·Rv[0,k] + gx·Rv[2,k]; T1k = fyi·Rv[1,k] + gy·Rv[2,k]
+    T00 = fxi * Rv[0, 0] + gx * Rv[2, 0]
+    T01 = fxi * Rv[0, 1] + gx * Rv[2, 1]
+    T02 = fxi * Rv[0, 2] + gx * Rv[2, 2]
+    T10 = fyi * Rv[1, 0] + gy * Rv[2, 0]
+    T11 = fyi * Rv[1, 1] + gy * Rv[2, 1]
+    T12 = fyi * Rv[1, 2] + gy * Rv[2, 2]
 
-    a, b, c = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    # Σ = R S² Rᵀ (3DGS convention), 6 unique entries via M = R·diag(s)
+    w, x, y_, zq = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    s0 = scales[:, 0] * scale_modifier
+    s1 = scales[:, 1] * scale_modifier
+    s2 = scales[:, 2] * scale_modifier
+    R00 = 1 - 2 * (y_ * y_ + zq * zq)
+    R01 = 2 * (x * y_ - w * zq)
+    R02 = 2 * (x * zq + w * y_)
+    R10 = 2 * (x * y_ + w * zq)
+    R11 = 1 - 2 * (x * x + zq * zq)
+    R12 = 2 * (y_ * zq - w * x)
+    R20 = 2 * (x * zq - w * y_)
+    R21 = 2 * (y_ * zq + w * x)
+    R22 = 1 - 2 * (x * x + y_ * y_)
+    M00, M01, M02 = R00 * s0, R01 * s1, R02 * s2
+    M10, M11, M12 = R10 * s0, R11 * s1, R12 * s2
+    M20, M21, M22 = R20 * s0, R21 * s1, R22 * s2
+    C00 = M00 * M00 + M01 * M01 + M02 * M02
+    C01 = M00 * M10 + M01 * M11 + M02 * M12
+    C02 = M00 * M20 + M01 * M21 + M02 * M22
+    C11 = M10 * M10 + M11 * M11 + M12 * M12
+    C12 = M10 * M20 + M11 * M21 + M12 * M22
+    C22 = M20 * M20 + M21 * M21 + M22 * M22
+
+    def quad(Ta0, Ta1, Ta2, Tb0, Tb1, Tb2):
+        return (Ta0 * Tb0 * C00 + Ta1 * Tb1 * C11 + Ta2 * Tb2 * C22
+                + (Ta0 * Tb1 + Ta1 * Tb0) * C01
+                + (Ta0 * Tb2 + Ta2 * Tb0) * C02
+                + (Ta1 * Tb2 + Ta2 * Tb1) * C12)
+
+    a = quad(T00, T01, T02, T00, T01, T02) + 0.3
+    b = quad(T00, T01, T02, T10, T11, T12)
+    c = quad(T10, T11, T12, T10, T11, T12) + 0.3
     det = a * c - b * b
     det_ok = det > 0
     safe_det = jnp.where(det_ok, det, 1.0)

@@ -9,16 +9,23 @@ single gaussian may own arbitrarily many slots (no per-gaussian cap — large
 splats early in training are handled exactly). Slots beyond the true total get
 a sentinel tile id and sort to the end.
 
-Sort: `jax.lax.sort` with 2 lexicographic keys (tile id, depth) — a stable XLA
-sort matching the CUDA order (depth ascending within tile, gaussian index as
-tie-break via stability).
+Sort strategy (two-phase, cheaper than one big multi-key sort):
+1. argsort the G gaussians by view depth (G ≪ B), gather their rects into
+   depth order;
+2. expand instances — now already globally depth-ordered — and run ONE stable
+   single-key sort by tile id with the gaussian index as the only payload.
+   Stability preserves depth order within each tile, matching the CUDA
+   (tile | depth) radix order with gaussian-index tie-break.
 
 After sorting, instances are re-scattered so every tile's segment is padded to
 a multiple of `align` (the Pallas chunk size): all kernel DMA offsets become
 chunk-aligned and no chunk ever crosses a segment boundary, which both
 satisfies Mosaic's lane-alignment rules and makes backward gradient writes
 disjoint across tiles. Padded slots have valid=False and are neutralized by
-forcing their opacity to zero at pack time.
+forcing their opacity to zero at pack time. `perm` maps each pre-sort
+(gaussian-major, contiguous-per-gaussian) instance slot to its aligned
+position — the backward pass uses it to turn the per-gaussian gradient
+reduction into a contiguous segment sum instead of a giant scatter-add.
 """
 
 from __future__ import annotations
@@ -38,6 +45,11 @@ class TileInstances(NamedTuple):
     valid: jnp.ndarray         # [B_pad] bool
     total: jnp.ndarray         # [] int32 true number of instances (pre-align)
     overflowed: jnp.ndarray    # [] bool — budget exceeded, tail instances dropped
+    perm: jnp.ndarray          # [B] int32 depth-order slot → aligned position
+                               # (b_pad for dropped/pad slots)
+    order: jnp.ndarray         # [G] int32 depth rank → gaussian index
+    seg_bounds: jnp.ndarray    # [G+1] int32 prefix sum of per-depth-rank tile
+                               # counts (slot ranges in depth order, pre-cap)
 
 
 def padded_size(budget: int, n_tiles: int, align: int) -> int:
@@ -53,31 +65,45 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     With `tile_row_offset`, tile ids are local to a horizontal band starting
     at that tile row (rects must already be band-clamped by the projection)."""
     n_tiles = tiles_x * tiles_y
-    counts = proj.n_tiles.astype(jnp.int32)                    # [G]
-    offsets = jnp.cumsum(counts) - counts                      # exclusive prefix sum
-    total = offsets[-1] + counts[-1] if counts.shape[0] > 0 else jnp.int32(0)
+    G = proj.n_tiles.shape[0]
+
+    # --- phase 1: depth-order the gaussians (culled ones sort last) ---
+    dkey = jnp.where(proj.n_tiles > 0, proj.depths, jnp.inf)
+    order = jnp.argsort(dkey, stable=True).astype(jnp.int32)     # [G]
+    counts = proj.n_tiles[order].astype(jnp.int32)
+    rmin_x = proj.rect_min[order, 0]
+    rmin_y = proj.rect_min[order, 1]
+    rect_w = jnp.maximum(proj.rect_max[order, 0] - rmin_x, 1)
+
+    incl = jnp.cumsum(counts)                                  # inclusive prefix sum
+    offsets = incl - counts                                    # exclusive
+    seg_bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  incl.astype(jnp.int32)])
+    total = incl[-1] if G > 0 else jnp.int32(0)
+    overflowed = total > budget
     total = jnp.minimum(total, budget)
 
     slots = jnp.arange(budget, dtype=jnp.int32)
-    # slot → gaussian: last g with offsets[g] <= s. Equivalent to
+    # slot → depth-rank gaussian: last g with offsets[g] <= s. Equivalent to
     # searchsorted(offsets, slots, 'right')-1 but via scatter-add + cumsum —
     # XLA lowers vectorized searchsorted to a gather-heavy binary-search loop
     # that costs ~300ms at 2M slots on TPU, vs ~10ms for this formulation.
     heads = jnp.zeros((budget,), jnp.int32).at[offsets].add(1, mode="drop")
-    g = jnp.cumsum(heads) - 1
-    g = jnp.clip(g, 0, max(counts.shape[0] - 1, 0))
-    k = slots - offsets[g]                                     # tile index within rect
+    gi = jnp.cumsum(heads) - 1
+    gi = jnp.clip(gi, 0, max(G - 1, 0))
+    k = slots - offsets[gi]                                    # tile index within rect
     valid = slots < total
 
-    rect_w = jnp.maximum(proj.rect_max[g, 0] - proj.rect_min[g, 0], 1)
-    ty = k // rect_w
-    tx = k - ty * rect_w
-    tile = ((proj.rect_min[g, 1] + ty - tile_row_offset) * tiles_x
-            + proj.rect_min[g, 0] + tx)
+    ty = k // rect_w[gi]
+    tx = k - ty * rect_w[gi]
+    tile = ((rmin_y[gi] + ty - tile_row_offset) * tiles_x + rmin_x[gi] + tx)
     tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
-    depth = jnp.where(valid, proj.depths[g], jnp.inf).astype(jnp.float32)
 
-    tile_s, _, gauss_s = jax.lax.sort((tile, depth, g), num_keys=2)
+    # --- phase 2: stable single-key sort by tile (keeps depth order within) ---
+    # extra payload `slots` gives the inverse permutation for the backward
+    # pass's contiguous gradient reduction.
+    tile_s, gauss_s, src_slot = jax.lax.sort(
+        (tile, order[gi], slots), num_keys=1)
 
     # raw per-tile boundaries, then align each segment length up to `align`
     raw_bounds = jnp.searchsorted(
@@ -89,20 +115,32 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
                               jnp.cumsum(pad_len).astype(jnp.int32)])
 
     b_pad = padded_size(budget, n_tiles, align)
-    # scatter sorted slots to their aligned positions (pads stay at segment end)
+    # scatter sorted slots to their aligned positions (pads stay at segment
+    # end): aligned_pos = sorted_pos + accumulated pad of earlier segments
+    delta = bounds[:-1] - raw_bounds[:-1]                      # [n_tiles]
     src_valid = tile_s < n_tiles
     new_pos = jnp.where(
         src_valid,
-        bounds[jnp.clip(tile_s, 0, n_tiles - 1)] +
-        (jnp.arange(budget, dtype=jnp.int32) - raw_bounds[jnp.clip(tile_s, 0, n_tiles - 1)]),
+        jnp.arange(budget, dtype=jnp.int32) +
+        delta[jnp.clip(tile_s, 0, n_tiles - 1)],
         b_pad)                                                 # dropped
-    out_gauss = jnp.zeros((b_pad,), jnp.int32).at[new_pos].set(
+    out_gauss = jnp.full((b_pad,), -1, jnp.int32).at[new_pos].set(
         gauss_s, mode="drop")
-    out_tile = jnp.full((b_pad,), n_tiles, jnp.int32).at[new_pos].set(
-        tile_s, mode="drop")
-    out_valid = jnp.zeros((b_pad,), bool).at[new_pos].set(
-        src_valid, mode="drop")
+    out_valid = out_gauss >= 0
+    out_gauss = jnp.maximum(out_gauss, 0)
+
+    # tile id per aligned slot, derived from bounds (no second scatter): the
+    # unused tail past bounds[-1] lands on the sentinel n_tiles automatically
+    tile_heads = jnp.zeros((b_pad,), jnp.int32).at[bounds[1:]].add(
+        1, mode="drop")
+    out_tile = jnp.cumsum(tile_heads)
+    out_tile = jnp.where(out_valid, out_tile, n_tiles).astype(jnp.int32)
+
+    # depth-order slot → aligned position (for gradient segment reduction)
+    perm = jnp.full((budget,), b_pad, jnp.int32).at[src_slot].set(
+        jnp.where(src_valid, new_pos, b_pad), mode="drop")
 
     return TileInstances(gauss_ids=out_gauss, tile_ids=out_tile,
                          tile_bounds=bounds, valid=out_valid, total=total,
-                         overflowed=(offsets[-1] + counts[-1]) > budget)
+                         overflowed=overflowed, perm=perm, order=order,
+                         seg_bounds=seg_bounds)

@@ -51,6 +51,32 @@ def _tile_pixel_coords(t, tiles_x: int, tile_size: int, row_offset: int = 0):
     return px, py
 
 
+def _tile_basis(t, tiles_x: int, tile_size: int, row_offset: int = 0):
+    """Quadratic pixel basis for MXU power evaluation.
+
+    The per-(pixel,instance) gaussian exponent is a quadratic form in pixel
+    coordinates, so for a whole tile it factors as one [PIX,8]·[8,C] matmul:
+    power = P @ coef with P rows [1, px', py', px'², py'², px'·py', 0, 0] in
+    TILE-CENTERED coordinates (px' = px - cx). Centering keeps every term
+    O(conic·radius²) ~ O(10) so f32 matmul accumulates no worse error than
+    the CUDA reference's dx-first evaluation; in global coordinates the
+    px²-scale terms (~1e5-1e6) would swamp the O(1) exponent.
+
+    Returns (P [PIX,8], cx, cy scalars).
+    """
+    tile_y = t // tiles_x + row_offset
+    tile_x = t - (t // tiles_x) * tiles_x
+    cx = (tile_x * tile_size + (tile_size - 1) * 0.5).astype(jnp.float32)
+    cy = (tile_y * tile_size + (tile_size - 1) * 0.5).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tile_x * tile_size + p % tile_size).astype(jnp.float32) - cx
+    py = (tile_y * tile_size + p // tile_size).astype(jnp.float32) - cy
+    one = jnp.ones((PIX, 1), jnp.float32)
+    zero = jnp.zeros((PIX, 2), jnp.float32)
+    P = jnp.concatenate([one, px, py, px * px, py * py, px * py, zero], axis=1)
+    return P, cx, cy
+
+
 def _cumsum_lanes(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
     """Prefix sum along the lane (minor) axis via a Hillis-Steele scan of
     log2(C) roll+add steps — Mosaic has no cumsum primitive and a triangular
@@ -83,24 +109,41 @@ def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _chunk_alphas(data, px, py):
-    """Shared fwd/bwd per-chunk alpha evaluation.
+def _chunk_coef(data, cx, cy):
+    """Per-instance quadratic coefficients in tile-centered coordinates.
 
-    data [PACK,C] component-major → per-(pixel,instance) [PIX,C] arrays.
+    data [PACK,C] component-major → (coef [8,C] for the P@coef power matmul,
+    dict of centered per-instance rows for the backward chain). The exact
+    power≤0 guard of the scalar evaluation becomes a clamp min(power,0):
+    matmul rounding can push a near-center power to +1e-6 and a hard guard
+    would zero an alpha≈opacity pixel, a large pointwise error; the clamp is
+    within fp noise of the reference everywhere.
     """
-    mx, my = data[0:1, :], data[1:2, :]
+    mx = data[0:1, :] - cx
+    my = data[1:2, :] - cy
     ca, cb, cc = data[2:3, :], data[3:4, :], data[4:5, :]
     op = data[5:6, :]
-    dx = mx - px                       # [PIX,C]
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    c0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
+    c1 = ca * mx + cb * my
+    c2 = cc * my + cb * mx
+    zeros = jnp.zeros_like(c0)
+    coef = jnp.concatenate(
+        [c0, c1, c2, -0.5 * ca, -0.5 * cc, -cb, zeros, zeros], axis=0)
+    return coef, dict(mx=mx, my=my, ca=ca, cb=cb, cc=cc, op=op)
+
+
+def _power_alpha(P, coef, op):
+    """power = clamp(P@coef, ≤0) on the MXU; alpha with CUDA skip rules."""
+    power = jax.lax.dot_general(
+        P, coef, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)               # [PIX,C]
+    power = jnp.minimum(power, 0.0)
     gauss = jnp.exp(power)
     raw = op * gauss
     alpha = jnp.minimum(MAX_ALPHA, raw)
-    live = (power <= 0.0) & (alpha >= ALPHA_EPS)
-    alpha = jnp.where(live, alpha, 0.0)
-    return dict(alpha=alpha, gauss=gauss, raw=raw, dx=dx, dy=dy,
-                ca=ca, cb=cb, cc=cc, op=op)
+    alpha = jnp.where(alpha >= ALPHA_EPS, alpha, 0.0)
+    return power, gauss, raw, alpha
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +165,7 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
                   C, tiles_x, tile_size, row_offset):
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
-    px, py = _tile_pixel_coords(t, tiles_x, tile_size, row_offset)
+    P, cx, cy = _tile_basis(t, tiles_x, tile_size, row_offset)
     nchunks = (end - start) // C       # segments are exact multiples of C
 
     def dma(slot, ci):
@@ -145,23 +188,26 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
 
         def compute(carry):
             t_run, rgb = carry
-            ev = _chunk_alphas(chunk[slot], px, py)
-            alpha = ev["alpha"]
+            coef, row = _chunk_coef(chunk[slot], cx, cy)
+            _, _, _, alpha = _power_alpha(P, coef, row["op"])
             one_m = 1.0 - alpha
-            # early-termination prefix: include i iff T through i >= eps
-            cum_incl = _cumprod_lanes(one_m)
-            include = (t_run * cum_incl) >= T_EPS
+            cum = _cumprod_lanes(one_m)
+            tcum = t_run * cum                   # T after instance i
+            # early-termination prefix: include i iff T through i >= eps;
+            # `include` is monotone along lanes (tcum non-increasing), so the
+            # masked cumulative product never needs a second scan: for
+            # included i it equals tcum, and the carry-out is the last
+            # included tcum (or t_run unchanged when nothing is included)
+            include = tcum >= T_EPS
             alpha = jnp.where(include, alpha, 0.0)
-            one_m = 1.0 - alpha
-            cum_incl = _cumprod_lanes(one_m)
-            cum_excl = cum_incl / one_m          # 1-α ≥ 0.01, exact enough
-            w = alpha * (t_run * cum_excl)                       # [PIX,C]
+            w = alpha * (tcum / one_m)           # T before i; 1-α ≥ 0.01
             col = chunk[slot, 6:9, :]                            # [3,C]
             rgb = rgb + jax.lax.dot_general(
                 w, col, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)              # [PIX,3]
-            t_run = t_run * cum_incl[:, -1:]
+            t_run = jnp.min(jnp.where(include, tcum, t_run), axis=1,
+                            keepdims=True)
             return t_run, rgb
 
         # skip compute once every pixel is saturated (CUDA early termination)
@@ -241,7 +287,7 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                   tile_size, row_offset):
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
-    px, py = _tile_pixel_coords(t, tiles_x, tile_size, row_offset)
+    P, cx, cy = _tile_basis(t, tiles_x, tile_size, row_offset)
     nchunks = (end - start) // C
 
     d_rgb = cot_ref[j, :, 0:3]                       # [PIX,3] dL/d accum rgb
@@ -270,16 +316,15 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
 
         def compute(carry):
             t_run, pref_u = carry
-            ev = _chunk_alphas(chunk[slot], px, py)
-            alpha = ev["alpha"]
-            one_m0 = 1.0 - alpha
-            cum_incl = _cumprod_lanes(one_m0)
-            include = (t_run * cum_incl) >= T_EPS
-            alpha = jnp.where(include, alpha, 0.0)
-            one_m = 1.0 - alpha
-            cum_incl = _cumprod_lanes(one_m)
-            T_i = t_run * (cum_incl / one_m)         # transmittance before i
-            w = alpha * T_i                          # [PIX,C]
+            coef, row = _chunk_coef(chunk[slot], cx, cy)
+            power, _, raw, alpha0 = _power_alpha(P, coef, row["op"])
+            one_m = 1.0 - alpha0
+            cum = _cumprod_lanes(one_m)
+            tcum = t_run * cum
+            include = tcum >= T_EPS                  # single scan (see fwd)
+            alpha = jnp.where(include, alpha0, 0.0)
+            T_i = tcum / one_m                       # transmittance before i
+            w = alpha * T_i                          # 0 for excluded [PIX,C]
 
             col = chunk[slot, 6:9, :]                # [3,C]
             u = jnp.dot(d_rgb, col, precision=jax.lax.Precision.HIGHEST,
@@ -290,22 +335,27 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
             inv_1m = 1.0 / (1.0 - alpha)
             d_alpha = T_i * u - s_dot * inv_1m - (g_t * final_t) * inv_1m
 
-            active = (alpha > 0.0) & (ev["raw"] < MAX_ALPHA)
+            active = (alpha > 0.0) & (raw < MAX_ALPHA) & (power < 0.0)
             d_alpha = jnp.where(active, d_alpha, 0.0)
-            d_gauss = d_alpha * ev["op"]
-            d_power = d_gauss * ev["gauss"]
+            d_power = d_alpha * raw                  # = d_alpha·op·gauss
 
-            dx, dy = ev["dx"], ev["dy"]
-            ca, cb, cc = ev["ca"], ev["cb"], ev["cc"]
+            # per-instance gradients through the quadratic coefficients: one
+            # [PIX,8]ᵀ@[PIX,C] matmul replaces six sublane reductions
+            d_coef = jax.lax.dot_general(
+                P, d_power, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # [8,C]
+            d_c0, d_c1, d_c2 = d_coef[0:1], d_coef[1:2], d_coef[2:3]
+            d_c3, d_c4, d_c5 = d_coef[3:4], d_coef[4:5], d_coef[5:6]
+            mx, my = row["mx"], row["my"]
+            ca, cb, cc, op = row["ca"], row["cb"], row["cc"], row["op"]
             rows = [
-                jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=0,
-                        keepdims=True),
-                jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=0,
-                        keepdims=True),
-                jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True),
-                jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True),
-                jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True),
-                jnp.sum(d_alpha * ev["gauss"], axis=0, keepdims=True),
+                -d_c0 * (ca * mx + cb * my) + d_c1 * ca + d_c2 * cb,
+                -d_c0 * (cc * my + cb * mx) + d_c1 * cb + d_c2 * cc,
+                d_c0 * (-0.5 * mx * mx) + d_c1 * mx - 0.5 * d_c3,
+                d_c0 * (-mx * my) + d_c1 * my + d_c2 * mx - d_c5,
+                d_c0 * (-0.5 * my * my) + d_c2 * my - 0.5 * d_c4,
+                jnp.where(op > 0.0, d_c0 / jnp.maximum(op, ALPHA_EPS), 0.0),
             ]
             d_col = jax.lax.dot_general(
                 d_rgb, w, (((0,), (0,)), ((), ())),
@@ -313,7 +363,8 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                 preferred_element_type=jnp.float32)  # [3,C]
             gvals = jnp.concatenate(
                 rows + [d_col, jnp.zeros((PACK - 9, C), jnp.float32)], axis=0)
-            t_run = t_run * cum_incl[:, -1:]
+            t_run = jnp.min(jnp.where(include, tcum, t_run), axis=1,
+                            keepdims=True)
             pref_u = pref_u + jnp.sum(uw, axis=1, keepdims=True)
             return t_run, pref_u, gvals
 
