@@ -74,52 +74,58 @@ def _blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret, row_offset,
 _blend_pallas.defvjp(_blend_fwd, _blend_bwd)
 
 
-def _pack(gauss_rows, gauss_ids, valid_f):
-    """[G,9] splat rows → component-major [PACK, B_pad] instance table."""
-    packed = gauss_rows[gauss_ids]                        # [B_pad, 9]
-    packed = packed.at[:, 5].set(packed[:, 5] * valid_f)  # zero pad-slot opacity
+def _pack(gauss_rows, order, rank_slot, src_slot):
+    """[G,9] splat rows → component-major [PACK, B_pad] instance table.
+
+    Two ROW gathers (vector-layout friendly, ~3 ms/1M rows on TPU, vs ~10 ms
+    for a 1M scalar gather): depth rank → rows, then aligned slot → rows.
+    Sentinel ranks (G) and sentinel slots (budget) hit appended zero rows, so
+    pad/overflow slots get zero opacity with no extra mask multiply."""
+    z1 = jnp.zeros((1, 9), gauss_rows.dtype)
+    rows_rank = jnp.concatenate([gauss_rows[order], z1])      # [G+1, 9]
+    rows_depth = jnp.concatenate([rows_rank[rank_slot], z1])  # [B+1, 9]
+    packed = rows_depth[src_slot]                             # [B_pad, 9]
     packed = jnp.concatenate(
         [packed, jnp.zeros((packed.shape[0], PACK - 9), packed.dtype)], axis=1)
     return packed.T
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
-def _pack_blend(gauss_rows, gauss_ids, valid_f, tile_bounds, perm, seg_bounds,
-                order, n_tiles: int, tiles_x: int, tile_size: int,
+def _pack_blend(gauss_rows, order, rank_slot, src_slot, tile_bounds, perm,
+                seg_bounds, n_tiles: int, tiles_x: int, tile_size: int,
                 chunk_size: int, interpret: bool, row_offset: int):
     """Gather+blend with a segment-sum backward.
 
     The naive backward of the instance gather is a [B_pad,9]→[G,9] scatter-add
-    — index-bound and ~30 ms at 1.5M instances on v5e (XLA serializes
-    colliding updates). Instead: gather the per-instance gradients back into
-    *pre-sort* (gaussian-major) slot order via `perm`, where every gaussian's
-    instances are contiguous, and reduce with one cumsum + two boundary
-    row-gathers (`seg_bounds`).
+    — index-bound and ~30 ms at 1.5M instances (XLA serializes colliding
+    updates). Instead: row-gather the per-instance gradients back into
+    depth-slot order via `perm`, where every gaussian's instances are
+    contiguous, and reduce with one cumsum + two boundary row-gathers
+    (`seg_bounds`).
     """
-    return blend_forward_pallas(_pack(gauss_rows, gauss_ids, valid_f),
+    return blend_forward_pallas(_pack(gauss_rows, order, rank_slot, src_slot),
                                 tile_bounds, n_tiles, tiles_x, tile_size,
                                 chunk_size, interpret, row_offset)
 
 
-def _pack_blend_fwd(gauss_rows, gauss_ids, valid_f, tile_bounds, perm,
-                    seg_bounds, order, n_tiles, tiles_x, tile_size,
+def _pack_blend_fwd(gauss_rows, order, rank_slot, src_slot, tile_bounds, perm,
+                    seg_bounds, n_tiles, tiles_x, tile_size,
                     chunk_size, interpret, row_offset):
-    packed = _pack(gauss_rows, gauss_ids, valid_f)
+    packed = _pack(gauss_rows, order, rank_slot, src_slot)
     out = blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
                                tile_size, chunk_size, interpret, row_offset)
-    res = (packed, tile_bounds, out, valid_f, perm, seg_bounds, order,
+    res = (packed, tile_bounds, out, perm, seg_bounds, order,
            gauss_rows.shape[0])
     return out, res
 
 
 def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
                     row_offset, res, cot):
-    packed, tile_bounds, out, valid_f, perm, seg_bounds, order, G = res
+    packed, tile_bounds, out, perm, seg_bounds, order, G = res
     grads = blend_backward_pallas(packed, tile_bounds, out, cot, n_tiles,
                                   tiles_x, tile_size, chunk_size, interpret,
                                   row_offset)                  # [PACK, B_pad]
     g9 = grads[:9]
-    g9 = g9.at[5].set(g9[5] * valid_f)       # chain through the opacity mask
     gT = jnp.concatenate([g9.T, jnp.zeros((1, 9), g9.dtype)])  # [B_pad+1, 9]
     g_depth = gT[perm]                       # [B,9]; dropped slots → zero row
     cs = jnp.concatenate([jnp.zeros((1, 9), g9.dtype),
@@ -131,9 +137,9 @@ def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
     d_rows = jnp.zeros((G, 9), g9.dtype).at[order].set(per_rank)
     f0 = _float0_like
     b_pad = packed.shape[1]
-    return (d_rows, f0(jnp.zeros((b_pad,), jnp.int32)),
-            jnp.zeros_like(valid_f), f0(tile_bounds), f0(perm),
-            f0(seg_bounds), f0(order))
+    return (d_rows, f0(order), f0(jnp.zeros((B,), jnp.int32)),
+            f0(jnp.zeros((b_pad,), jnp.int32)), f0(tile_bounds), f0(perm),
+            f0(seg_bounds))
 
 
 _pack_blend.defvjp(_pack_blend_fwd, _pack_blend_bwd)
@@ -203,16 +209,15 @@ def rasterize(
                                        tile_row_offset=row0,
                                        band_height=band_h)
     else:
-        # single fused row-gather of all per-gaussian splat state with a
+        # fused row-gathers of all per-gaussian splat state with a
         # segment-sum backward (see _pack_blend); pad slots are neutralized
-        # via zero opacity
+        # via sentinel-indexed zero rows
         gauss_rows = jnp.concatenate([
             proj.means2d, proj.conics, opacities[:, None], colors],
             axis=1)                                       # [G, 9]
-        tiles = _pack_blend(gauss_rows, inst.gauss_ids,
-                            inst.valid.astype(gauss_rows.dtype),
-                            inst.tile_bounds, inst.perm, inst.seg_bounds,
-                            inst.order, n_tiles, tiles_x, tile_size,
+        tiles = _pack_blend(gauss_rows, inst.order, inst.rank_slot,
+                            inst.src_slot, inst.tile_bounds, inst.perm,
+                            inst.seg_bounds, n_tiles, tiles_x, tile_size,
                             chunk_size, interpret, row0)
         tiles = tiles[:n_tiles]          # drop grid-batch padding tiles
         # [n_tiles, 256, 8] → [8, band_h, W]

@@ -20,8 +20,10 @@ back-to-front gradient replay). TPU-first design:
   buffer, then reach per-gaussian form via the autodiff transpose of the
   instance gather (an XLA segment-sum).
 
-Component row layout (16 rows): [mean_x, mean_y, conic_a, conic_b, conic_c,
-opacity, r, g, b, pad...]. Gradient rows use the same layout.
+Component row layout (16 rows; Mosaic DMA slices must be sublane-aligned to 8,
+and the kernel is chunk-overhead/VPU-bound, not DMA-bandwidth-bound, so the pad
+rows are free): [mean_x, mean_y, conic_a, conic_b, conic_c, opacity, r, g, b,
+pad...]. Gradient rows use the same layout.
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from contextgs_tpu.ops.rasterize.common import (ALPHA_EPS, LOG_T_EPS,  # noqa: F401
                                                 MAX_ALPHA, T_EPS)
 
-PACK = 16          # instance component rows
+PACK = 16          # instance component rows (sublane-tiling multiple of 8)
 PIX = 256          # pixels per 16x16 tile
 OUTC = 8           # output channels per pixel: rgb, T, logT, pad
 
@@ -374,16 +376,32 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
 
         t_run, pref_u, gvals = jax.lax.cond(
             jnp.max(t_run) >= T_EPS, compute, saturated, (t_run, pref_u))
-        gchunk[:, :] = gvals
+        # double-buffered output DMA: wait for this slot's previous transfer
+        # (two chunks ago) before overwriting, never for the one just issued
+        @pl.when(ci >= 2)
+        def _():
+            pltpu.make_async_copy(gchunk.at[slot], gchunk.at[slot],
+                                  sem_out.at[slot]).wait()
+        gchunk[slot] = gvals
         off = pl.multiple_of(start + ci * C, 128)
-        dma_out = pltpu.make_async_copy(gchunk, grad_hbm.at[:, pl.ds(off, C)],
-                                        sem_out)
-        dma_out.start()
-        dma_out.wait()
+        pltpu.make_async_copy(gchunk.at[slot], grad_hbm.at[:, pl.ds(off, C)],
+                              sem_out.at[slot]).start()
         return t_run, pref_u
 
     init = (jnp.ones((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
     jax.lax.fori_loop(0, nchunks, body, init)
+
+    # drain the (up to two) outstanding gradient DMAs before the next tile
+    # reuses the gchunk slots
+    @pl.when(nchunks >= 2)
+    def _():
+        s = jax.lax.rem(nchunks - 2, 2)
+        pltpu.make_async_copy(gchunk.at[s], gchunk.at[s], sem_out.at[s]).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        s = jax.lax.rem(nchunks - 1, 2)
+        pltpu.make_async_copy(gchunk.at[s], gchunk.at[s], sem_out.at[s]).wait()
 
 
 def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
@@ -414,9 +432,9 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, PACK, chunk_size), jnp.float32),
-            pltpu.VMEM((PACK, chunk_size), jnp.float32),
+            pltpu.VMEM((2, PACK, chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
