@@ -43,6 +43,23 @@ def _float0_like(x):
     return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
+def _written_mask(out, tile_bounds, n_tiles, chunk_size, b_pad):
+    """[B_pad] bool: aligned slots the bwd kernel actually wrote.
+
+    The kernels break each tile's chunk stream early once every pixel
+    saturates; the forward records the per-tile chunk watermark in out
+    channel 5. Positions past a tile's watermark hold garbage and correspond
+    to excluded instances (true gradient zero) — mask them. Built with the
+    boundary-scatter+cumsum fill (valid_end is monotone across tiles)."""
+    wm = out[:n_tiles, 0, 5].astype(jnp.int32)              # chunks processed
+    valid_end = tile_bounds[:n_tiles] + wm * chunk_size
+    dd = valid_end - jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), valid_end[:-1]])
+    heads = jnp.zeros((b_pad,), jnp.int32).at[tile_bounds[:n_tiles]].add(
+        dd, mode="drop")
+    return jnp.arange(b_pad, dtype=jnp.int32) < jnp.cumsum(heads)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _blend_pallas(packed, tile_bounds,
                   n_tiles: int, tiles_x: int, tile_size: int, chunk_size: int,
@@ -64,9 +81,8 @@ def _blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret, row_offset,
     grads = blend_backward_pallas(packed, tile_bounds, out, cot, n_tiles,
                                   tiles_x, tile_size, chunk_size, interpret,
                                   row_offset)
-    # slots past the last segment are never written by any tile program —
-    # mask the uninitialized tail before the gather-transpose scatter-add
-    in_use = jnp.arange(packed.shape[1]) < tile_bounds[-1]
+    in_use = _written_mask(out, tile_bounds, n_tiles, chunk_size,
+                           packed.shape[1])
     grads = jnp.where(in_use[None, :], grads, 0.0)
     return grads, _float0_like(tile_bounds)
 
@@ -125,7 +141,9 @@ def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
     grads = blend_backward_pallas(packed, tile_bounds, out, cot, n_tiles,
                                   tiles_x, tile_size, chunk_size, interpret,
                                   row_offset)                  # [PACK, B_pad]
-    g9 = grads[:9]
+    in_use = _written_mask(out, tile_bounds, n_tiles, chunk_size,
+                           packed.shape[1])
+    g9 = jnp.where(in_use[None, :], grads[:9], 0.0)
     gT = jnp.concatenate([g9.T, jnp.zeros((1, 9), g9.dtype)])  # [B_pad+1, 9]
     g_depth = gT[perm]                       # [B,9]; dropped slots → zero row
     cs = jnp.concatenate([jnp.zeros((1, 9), g9.dtype),

@@ -179,8 +179,15 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
     def _():
         dma(0, 0).start()
 
-    def body(ci, carry):
-        t_run, rgb = carry
+    def cond(state):
+        ci, t_run, _ = state
+        # CUDA-style early termination, chunk-granular: BREAK the stream once
+        # every pixel of the tile is saturated — skips the remaining chunks'
+        # DMAs entirely, not just their compute
+        return (ci < nchunks) & (jnp.max(t_run) >= T_EPS)
+
+    def body(state):
+        ci, t_run, rgb = state
         slot = jax.lax.rem(ci, 2)
         # prefetch the next chunk while this one computes (double buffering)
         @pl.when(ci + 1 < nchunks)
@@ -188,42 +195,45 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
             dma(1 - slot, ci + 1).start()
         dma(slot, ci).wait()
 
-        def compute(carry):
-            t_run, rgb = carry
-            coef, row = _chunk_coef(chunk[slot], cx, cy)
-            _, _, _, alpha = _power_alpha(P, coef, row["op"])
-            one_m = 1.0 - alpha
-            cum = _cumprod_lanes(one_m)
-            tcum = t_run * cum                   # T after instance i
-            # early-termination prefix: include i iff T through i >= eps;
-            # `include` is monotone along lanes (tcum non-increasing), so the
-            # masked cumulative product never needs a second scan: for
-            # included i it equals tcum, and the carry-out is the last
-            # included tcum (or t_run unchanged when nothing is included)
-            include = tcum >= T_EPS
-            alpha = jnp.where(include, alpha, 0.0)
-            w = alpha * (tcum / one_m)           # T before i; 1-α ≥ 0.01
-            col = chunk[slot, 6:9, :]                            # [3,C]
-            rgb = rgb + jax.lax.dot_general(
-                w, col, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)              # [PIX,3]
-            t_run = jnp.min(jnp.where(include, tcum, t_run), axis=1,
-                            keepdims=True)
-            return t_run, rgb
-
-        # skip compute once every pixel is saturated (CUDA early termination)
-        return jax.lax.cond(jnp.max(t_run) >= T_EPS, compute,
-                            lambda c: c, (t_run, rgb))
+        coef, row = _chunk_coef(chunk[slot], cx, cy)
+        _, _, _, alpha = _power_alpha(P, coef, row["op"])
+        one_m = 1.0 - alpha
+        cum = _cumprod_lanes(one_m)
+        tcum = t_run * cum                   # T after instance i
+        # early-termination prefix: include i iff T through i >= eps;
+        # `include` is monotone along lanes (tcum non-increasing), so the
+        # masked cumulative product never needs a second scan: for
+        # included i it equals tcum, and the carry-out is the last
+        # included tcum (or t_run unchanged when nothing is included)
+        include = tcum >= T_EPS
+        alpha = jnp.where(include, alpha, 0.0)
+        w = alpha * (tcum / one_m)           # T before i; 1-α ≥ 0.01
+        col = chunk[slot, 6:9, :]                            # [3,C]
+        rgb = rgb + jax.lax.dot_general(
+            w, col, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # [PIX,3]
+        t_run = jnp.min(jnp.where(include, tcum, t_run), axis=1,
+                        keepdims=True)
+        return ci + 1, t_run, rgb
 
     t0 = jnp.ones((PIX, 1), jnp.float32)
     rgb0 = jnp.zeros((PIX, 3), jnp.float32)
-    t_run, rgb = jax.lax.fori_loop(0, nchunks, body, (t0, rgb0))
+    ci_end, t_run, rgb = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, rgb0))
+
+    # drain the prefetched-but-unconsumed chunk after an early break
+    @pl.when(ci_end < nchunks)
+    def _():
+        dma(jax.lax.rem(ci_end, 2), ci_end).wait()
 
     out_ref[j, :, 0:3] = rgb
     out_ref[j, :, 3] = t_run[:, 0]
     out_ref[j, :, 4] = jnp.log(jnp.maximum(t_run, 1e-30))[:, 0]
-    out_ref[j, :, 5:OUTC] = jnp.zeros((PIX, OUTC - 5), jnp.float32)
+    # channel 5: chunks processed (watermark) — backward masks the gradient
+    # region it never writes after its own identical early break
+    out_ref[j, :, 5] = jnp.full((PIX,), 1.0, jnp.float32) * ci_end
+    out_ref[j, :, 6:OUTC] = jnp.zeros((PIX, OUTC - 6), jnp.float32)
 
 
 TILES_PER_STEP = 8   # grid steps carry fixed overhead (~30 us); batch tiles
@@ -308,8 +318,15 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
     def _():
         dma_in(0, 0).start()
 
-    def body(ci, carry):
-        t_run, pref_u = carry
+    def cond(state):
+        ci, t_run, _ = state
+        # identical early break to the forward: gradients of every excluded
+        # instance are zero; the XLA side masks the unwritten region using
+        # the forward's per-tile watermark (fwd out channel 5)
+        return (ci < nchunks) & (jnp.max(t_run) >= T_EPS)
+
+    def body(state):
+        ci, t_run, pref_u = state
         slot = jax.lax.rem(ci, 2)
         @pl.when(ci + 1 < nchunks)
         def _():
@@ -370,12 +387,7 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
             pref_u = pref_u + jnp.sum(uw, axis=1, keepdims=True)
             return t_run, pref_u, gvals
 
-        def saturated(carry):
-            t_run, pref_u = carry
-            return t_run, pref_u, jnp.zeros((PACK, C), jnp.float32)
-
-        t_run, pref_u, gvals = jax.lax.cond(
-            jnp.max(t_run) >= T_EPS, compute, saturated, (t_run, pref_u))
+        t_run, pref_u, gvals = compute((t_run, pref_u))
         # double-buffered output DMA: wait for this slot's previous transfer
         # (two chunks ago) before overwriting, never for the one just issued
         @pl.when(ci >= 2)
@@ -386,21 +398,27 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
         off = pl.multiple_of(start + ci * C, 128)
         pltpu.make_async_copy(gchunk.at[slot], grad_hbm.at[:, pl.ds(off, C)],
                               sem_out.at[slot]).start()
-        return t_run, pref_u
+        return ci + 1, t_run, pref_u
 
-    init = (jnp.ones((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
-    jax.lax.fori_loop(0, nchunks, body, init)
+    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32))
+    ci_end, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain the prefetched-but-unconsumed input chunk after an early break
+    @pl.when(ci_end < nchunks)
+    def _():
+        dma_in(jax.lax.rem(ci_end, 2), ci_end).wait()
 
     # drain the (up to two) outstanding gradient DMAs before the next tile
     # reuses the gchunk slots
-    @pl.when(nchunks >= 2)
+    @pl.when(ci_end >= 2)
     def _():
-        s = jax.lax.rem(nchunks - 2, 2)
+        s = jax.lax.rem(ci_end - 2, 2)
         pltpu.make_async_copy(gchunk.at[s], gchunk.at[s], sem_out.at[s]).wait()
 
-    @pl.when(nchunks >= 1)
+    @pl.when(ci_end >= 1)
     def _():
-        s = jax.lax.rem(nchunks - 1, 2)
+        s = jax.lax.rem(ci_end - 1, 2)
         pltpu.make_async_copy(gchunk.at[s], gchunk.at[s], sem_out.at[s]).wait()
 
 
