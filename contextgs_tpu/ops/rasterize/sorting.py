@@ -9,37 +9,42 @@ own arbitrarily many slots (no per-gaussian cap — large splats early in
 training are handled exactly). Slots beyond the true total get a sentinel tile
 id and sort to the end.
 
-Performance rules this file is built around (measured on TPU):
-- a 1M-element *scalar* gather (`x[idx]`) costs ~10 ms (≈10 ns/element — XLA
-  lowers it to serial scalar loads), while a 1M `cumsum` costs ~0.15 ms and a
-  [1M, 9] *row* gather ~3 ms (rows ride the (8,128) vector layout);
-- therefore every per-slot `x[gi]` lookup is expressed as a *forward fill*:
-  scatter per-gaussian value deltas at segment-head slots, then cumsum. The
-  three rect fields are bit-packed into one int32 word so one scatter+cumsum
-  fills all three (field-wise partial sums are the true nonnegative values,
-  so no cross-field borrows occur);
-- sorts are cheap (~1 ms for 1M keys): the tile sort packs (tile, slot) into
-  ONE uint32 key with no payloads, and the inverse permutation `perm` is
-  produced by a second 2-operand sort instead of a 1M scatter.
+Performance rules this file is built around (device-lane timings at 1M
+instances / 200k gaussians on TPU):
+- scalar gathers cost ~10 ns/element and row gathers ~3-9 ns/row — both
+  serial-index-bound — while a sort PAYLOAD costs only ~0.45 ms per 1M-element
+  operand. Every reordering therefore rides a sort payload instead of a
+  gather: the depth sort carries the bit-packed rect geometry and the gaussian
+  index; the tile sort carries the depth rank.
+- scalar scatters cost ~1.8 ms per 200k indices regardless of payload width,
+  so the three per-slot forward fills (rank, rect geometry, segment offset)
+  are bit-packed into TWO int32 scatter+cumsum words (fields never borrow:
+  every field-wise partial sum is a true nonnegative in-range value).
+- 1M-element 1D cumsums are ~0.2 ms — effectively free next to everything
+  above.
+- int32 division lowers to a long scalar routine; `k // rect_w` is computed
+  in f32 (exact: both operands < 2^15, quotient error < 1/rect_w).
 
 Sort strategy (two-phase, cheaper than one big multi-key sort):
-1. argsort the G gaussians by view depth (G ≪ B), gather their rects into
-   depth order;
+1. ONE stable sort of the G gaussians by view depth (G ≪ B) with the rect
+   geometry (bit-packed u32) and gaussian index as payloads — no post-sort
+   gathers;
 2. expand instances — now already globally depth-ordered — and sort by tile id
-   with the slot index in the low key bits. Stability (slot order = depth
-   order) preserves depth order within each tile, matching the CUDA
-   (tile | depth) radix order with gaussian-index tie-break.
+   with the slot index in the low key bits and the depth rank as payload.
+   Stability (slot order = depth order) preserves depth order within each
+   tile, matching the CUDA (tile | depth) radix order with gaussian-index
+   tie-break.
 
 After sorting, instances are re-scattered so every tile's segment is padded to
 a multiple of `align` (the Pallas chunk size): all kernel DMA offsets become
 chunk-aligned and no chunk ever crosses a segment boundary, which both
 satisfies Mosaic's lane-alignment rules and makes backward gradient writes
-disjoint across tiles. The aligned table stores `src_slot` (the depth-order
-slot of each aligned position, sentinel `budget` for pads); the splat-state
-pack is then two *row* gathers (depth-rank → rows, aligned-pos → rows) and the
-backward pass reduces per-gaussian gradients with one cumsum + two boundary
-row-gathers over `seg_bounds` (contiguous per gaussian in depth order) instead
-of a giant colliding scatter-add.
+disjoint across tiles. The aligned table stores `rank_aligned` (the depth RANK
+of each aligned position, sentinel G for pads): the splat-state pack is then a
+single row gather from the [G,·] table (rank → rows), and the backward pass
+reduces per-gaussian gradients with one cumsum + two boundary row-gathers over
+`seg_bounds` (contiguous per gaussian in depth order) instead of a giant
+colliding scatter-add.
 """
 
 from __future__ import annotations
@@ -53,6 +58,8 @@ from contextgs_tpu.ops.rasterize.projection import ProjectedGaussians
 
 
 class TileInstances(NamedTuple):
+    rank_aligned: jnp.ndarray  # [B_pad] int32 depth rank per aligned position
+                               # (sentinel G for pad/overflow slots)
     src_slot: jnp.ndarray      # [B_pad] int32 depth-order slot per aligned
                                # position (sentinel `budget` for pad slots)
     rank_slot: jnp.ndarray     # [B] int32 depth rank per depth-order slot
@@ -85,15 +92,38 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     n_tiles = tiles_x * tiles_y
     G = proj.n_tiles.shape[0]
 
-    # --- phase 1: depth-order the gaussians (culled ones sort last) ---
-    dkey = jnp.where(proj.n_tiles > 0, proj.depths, jnp.inf)
-    order = jnp.argsort(dkey, stable=True).astype(jnp.int32)     # [G]
-    counts = proj.n_tiles[order].astype(jnp.int32)
-    rmin_x = proj.rect_min[order, 0]
-    rmin_y = proj.rect_min[order, 1] - tile_row_offset
-    rect_w = jnp.maximum(proj.rect_max[order, 0] - rmin_x, 1)
+    wx = max(tiles_x - 1, 1).bit_length()      # rmin_x < tiles_x
+    wy = max(tiles_y - 1, 1).bit_length()      # band-local rmin_y < tiles_y
+    ww = max(tiles_x, 1).bit_length()          # 1 ≤ rect_w ≤ tiles_x
+    wc = max(n_tiles, 1).bit_length()          # counts ≤ n_tiles
 
-    incl = jnp.cumsum(counts)                                  # inclusive prefix sum
+    # --- phase 1: depth-order the gaussians (culled ones sort last) with the
+    # rect geometry riding as sort payloads — no post-sort gathers ---
+    dkey = jnp.where(proj.n_tiles > 0, proj.depths, jnp.inf)
+    iota_g = jnp.arange(G, dtype=jnp.int32)
+    b_rmx = proj.rect_min[:, 0]
+    b_rmy = proj.rect_min[:, 1] - tile_row_offset
+    b_rw = jnp.maximum(proj.rect_max[:, 0] - b_rmx, 1)
+    b_cnt = proj.n_tiles.astype(jnp.int32)
+    if wx + wy + ww + wc <= 32:
+        u = jnp.uint32
+        gpack = (b_rmx.astype(u) | (b_rmy.astype(u) << wx)
+                 | (b_rw.astype(u) << (wx + wy))
+                 | (b_cnt.astype(u) << (wx + wy + ww)))
+        _, gpack_s, order = jax.lax.sort((dkey, gpack, iota_g),
+                                         num_keys=1, is_stable=True)
+        rmin_x = (gpack_s & ((1 << wx) - 1)).astype(jnp.int32)
+        rmin_y = ((gpack_s >> wx) & ((1 << wy) - 1)).astype(jnp.int32)
+        rect_w = ((gpack_s >> (wx + wy)) & ((1 << ww) - 1)).astype(jnp.int32)
+        counts = (gpack_s >> (wx + wy + ww)).astype(jnp.int32)
+    else:                                      # huge images: gather fallback
+        order = jnp.argsort(dkey, stable=True).astype(jnp.int32)
+        counts = b_cnt[order]
+        rmin_x = b_rmx[order]
+        rmin_y = b_rmy[order]
+        rect_w = b_rw[order]
+
+    incl = jnp.cumsum(counts)                                  # inclusive
     offsets = (incl - counts).astype(jnp.int32)                # exclusive
     seg_bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                   incl.astype(jnp.int32)])
@@ -114,41 +144,55 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
             d, mode="drop")
         return jnp.cumsum(heads)
 
-    # depth rank per slot = fill of the rank index itself (sentinel G past
-    # the true total)
-    rank = ffill(jnp.arange(G, dtype=jnp.int32))
-    rank = jnp.where(valid, jnp.clip(rank, 0, max(G - 1, 0)), G)
-
-    # rect fields, bit-packed into one forward fill when they fit 31 bits
-    wx = max(tiles_x - 1, 1).bit_length()      # rmin_x < tiles_x
-    wy = max(tiles_y - 1, 1).bit_length()      # band-local rmin_y < tiles_y
-    ww = max(tiles_x, 1).bit_length()          # 1 ≤ rect_w ≤ tiles_x
-    if wx + wy + ww <= 31:
-        geom = ffill(rmin_x | (rmin_y << wx) | (rect_w << (wx + wy)))
-        rx = geom & ((1 << wx) - 1)
-        ry = (geom >> wx) & ((1 << wy) - 1)
-        rw = jnp.maximum(geom >> (wx + wy), 1)
+    # three per-slot fills (depth rank; rect geometry; segment offset),
+    # bit-packed into TWO scatter+cumsum words when the fields fit 31 bits.
+    # Packing is sound because each field's partial sums are its true values,
+    # always nonnegative and in-range, so no cross-field borrows occur.
+    wr = max(1, (G - 1).bit_length()) if G > 0 else 1   # rank < G
+    wo = max(1, (budget - 1).bit_length())              # offset < budget
+    if wr + ww + wy <= 31 and wo + wx <= 31:
+        w1 = ffill((iota_g << (ww + wy)) | (rect_w << wy) | rmin_y)
+        w2 = ffill((offsets << wx) | rmin_x)
+        rank = jax.lax.shift_right_logical(w1, ww + wy)
+        rect_w = (w1 >> wy) & ((1 << ww) - 1)
+        rmin_y = w1 & ((1 << wy) - 1)
+        off_fill = jax.lax.shift_right_logical(w2, wx)
+        rmin_x = w2 & ((1 << wx) - 1)
     else:
-        rx = ffill(rmin_x)
-        ry = ffill(rmin_y)
-        rw = jnp.maximum(ffill(rect_w), 1)
+        rank = ffill(iota_g)
+        rect_w = ffill(rect_w)
+        rmin_y = ffill(rmin_y)
+        off_fill = ffill(offsets)
+        rmin_x = ffill(rmin_x)
+    rank = jnp.where(valid, jnp.clip(rank, 0, max(G - 1, 0)), G)
+    rect_w = jnp.maximum(rect_w, 1)
 
-    k = slots - ffill(offsets)                                 # index within rect
-    ty = k // rw
-    tx = k - ty * rw
-    tile = (ry + ty) * tiles_x + rx + tx
+    k = slots - off_fill                                       # index in rect
+    if n_tiles < (1 << 15):
+        # f32 division is exact here: k < counts ≤ n_tiles < 2^15 and
+        # 1 ≤ rect_w ≤ tiles_x ≤ 2^8, so the roundoff of the single-rounded
+        # quotient (≤ ulp(2^15)/2 = 2^-9) never crosses the 1/rect_w ≥ 2^-8
+        # gap below the next integer; int div would lower to a scalar routine
+        ty = (k.astype(jnp.float32) / rect_w.astype(jnp.float32)
+              ).astype(jnp.int32)
+    else:
+        ty = k // rect_w
+    tx = k - ty * rect_w
+    tile = (rmin_y + ty) * tiles_x + rmin_x + tx
     tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
 
     # --- phase 2: sort by tile, slot index in the low bits (stable ⇒ depth
-    # order within each tile). Single uint32 key, no payloads, when it fits.
+    # order within each tile), depth rank riding as payload. Single uint32
+    # key when it fits.
     bits_slot = max(1, (budget - 1).bit_length())
     if (n_tiles << bits_slot) | (budget - 1) < 2 ** 32:
         key = (tile.astype(jnp.uint32) << bits_slot) | slots.astype(jnp.uint32)
-        key_s = jax.lax.sort(key)
+        key_s, rank_s = jax.lax.sort((key, rank), num_keys=1)
         tile_s = (key_s >> bits_slot).astype(jnp.int32)
         src_slot = (key_s & ((1 << bits_slot) - 1)).astype(jnp.int32)
     else:
-        tile_s, src_slot = jax.lax.sort((tile, slots), num_keys=1)
+        tile_s, src_slot, rank_s = jax.lax.sort((tile, slots, rank),
+                                                num_keys=1)
 
     # raw per-tile boundaries, then align each segment length up to `align`
     raw_bounds = jnp.searchsorted(
@@ -169,15 +213,22 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     src_valid = tile_s < n_tiles
     new_pos = jnp.where(src_valid, slots + jnp.cumsum(shift), b_pad)
 
-    out_src = jnp.full((b_pad,), budget, jnp.int32).at[new_pos].set(
-        src_slot, mode="drop")
-    out_valid = out_src < budget
+    # ONE scalar scatter spreads the depth rank into the aligned table; the
+    # pack step is then a single [B_pad] row gather from the [G,·] splat rows
+    # (sentinel G hits an appended zero row)
+    out_rank = jnp.full((b_pad,), G, jnp.int32).at[new_pos].set(
+        rank_s, mode="drop")
+    out_valid = out_rank < G
 
     # depth-order slot → aligned position: src_slot is a permutation of
     # [0, budget), so invert it with a cheap 2-operand sort (a 1M scatter
-    # costs ~5 ms; the sort ~1 ms)
+    # costs ~5 ms; the sort ~1 ms). Lazy: DCE'd unless the consumer needs it.
     _, perm = jax.lax.sort(
         (src_slot, jnp.where(src_valid, new_pos, b_pad)), num_keys=1)
+
+    # aligned src_slot table (lazy): scatter like out_rank
+    out_src = jnp.full((b_pad,), budget, jnp.int32).at[new_pos].set(
+        src_slot, mode="drop")
 
     # tile id per aligned slot, derived from bounds (no second scatter): the
     # unused tail past bounds[-1] lands on the sentinel n_tiles automatically
@@ -186,14 +237,13 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     out_tile = jnp.cumsum(tile_heads)
     out_tile = jnp.where(out_valid, out_tile, n_tiles).astype(jnp.int32)
 
-    # gaussian id per aligned slot — derived through two scalar gathers; the
-    # Pallas path never reads it (row-gathers through src_slot/rank instead)
-    # so XLA dead-code-eliminates this in the hot path
-    rank_ext = jnp.concatenate([rank, jnp.full((1,), G, jnp.int32)])
+    # gaussian id per aligned slot (lazy, scalar gather; hot path never reads
+    # it so XLA dead-code-eliminates this)
     order_ext = jnp.concatenate([order, jnp.zeros((1,), jnp.int32)])
-    out_gauss = order_ext[rank_ext[jnp.minimum(out_src, budget)]]
+    out_gauss = order_ext[jnp.minimum(out_rank, G)]
 
-    return TileInstances(src_slot=out_src, rank_slot=rank, gauss_ids=out_gauss,
+    return TileInstances(rank_aligned=out_rank, src_slot=out_src,
+                         rank_slot=rank, gauss_ids=out_gauss,
                          tile_ids=out_tile, tile_bounds=bounds,
                          valid=out_valid, total=total, overflowed=overflowed,
                          perm=perm, order=order, seg_bounds=seg_bounds)

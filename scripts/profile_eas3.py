@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Settle the EAS timing discrepancy with direct sync timing."""
+import os, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_cc"))
+import math
+import jax, jax.numpy as jnp, numpy as np
+from contextgs_tpu.ops.rasterize.projection import project_gaussians
+from contextgs_tpu.ops.rasterize.sorting import expand_and_sort
+from contextgs_tpu.scene.cameras import Camera
+
+WIDTH, HEIGHT, N_GAUSS = 1280, 720, 200_000
+BUDGET, CHUNK, TILE = 1 << 20, 128, 16
+tiles_x, tiles_y = WIDTH // TILE, HEIGHT // TILE
+
+rng = np.random.default_rng(0)
+means = np.stack([rng.uniform(-3, 3, N_GAUSS), rng.uniform(-2, 2, N_GAUSS),
+                  rng.uniform(2.0, 12.0, N_GAUSS)], 1).astype(np.float32)
+scales = rng.uniform(0.004, 0.02, (N_GAUSS, 3)).astype(np.float32)
+quats = rng.normal(size=(N_GAUSS, 4)).astype(np.float32)
+quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+cam = Camera(uid=0, colmap_id=0, R=np.eye(3), T=np.zeros(3), fov_x=1.2,
+             fov_y=2 * math.atan(math.tan(0.6) * HEIGHT / WIDTH),
+             image=None, width=WIDTH, height=HEIGHT)
+proj = jax.jit(lambda m, s, q: project_gaussians(
+    m, s, q, jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj),
+    cam.tanfovx, cam.tanfovy, WIDTH, HEIGHT, TILE))(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats))
+jax.block_until_ready(proj)
+
+trivial = jax.jit(lambda x: x + 1.0)
+x0 = jnp.float32(0.0)
+trivial(x0).block_until_ready()
+
+def eas_used(p):
+    i = expand_and_sort(p, tiles_x, tiles_y, BUDGET, align=CHUNK)
+    return (i.src_slot, i.rank_slot, i.tile_bounds, i.perm, i.order,
+            i.seg_bounds, i.total, i.overflowed)
+
+eas_j = jax.jit(eas_used)
+jax.block_until_ready(eas_j(proj))
+
+for name, f, a in [("trivial", trivial, x0), ("eas", eas_j, proj)]:
+    ts = []
+    for _ in range(8):
+        t0 = time.time()
+        jax.block_until_ready(f(a))
+        ts.append((time.time() - t0) * 1e3)
+    print(f"{name:10s} " + " ".join(f"{t:7.2f}" for t in ts))
