@@ -79,36 +79,26 @@ def _tile_basis(t, tiles_x: int, tile_size: int, row_offset: int = 0):
     return P, cx, cy
 
 
-def _cumsum_lanes(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
-    """Prefix sum along the lane (minor) axis via a Hillis-Steele scan of
-    log2(C) roll+add steps — Mosaic has no cumsum primitive and a triangular
-    matmul would burn MXU f32 precision (bf16 passes) on a recurrence whose
-    error compounds across chunks."""
-    c = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
-    out = x
-    shift = 1
-    while shift < c:
-        rolled = pltpu.roll(out, shift, axis=len(x.shape) - 1)
-        out = out + jnp.where(lane >= shift, rolled, 0.0)
-        shift *= 2
-    return out - x if strict else out
+def _tri(c: int, strict: bool) -> jnp.ndarray:
+    """[C,C] f32 upper-triangular ones: x @ _tri gives a lane prefix sum.
+
+    Lane scans are the kernels' hottest VPU block: a Hillis-Steele roll scan
+    costs ~3·log2(C) full [PIX,C] passes, while one [PIX,C]@[C,C] matmul rides
+    the MXU (~5 VPU-pass-equivalents at HIGHEST) — measured 35% faster forward
+    at C=128. The transmittance recurrence therefore runs in log space
+    (log1p/exp at ~1e-6 relative error; sums are bounded by log(T_EPS)≈-9 in
+    the included region, so no precision compounding)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return ((i < j) if strict else (i <= j)).astype(jnp.float32)
 
 
-def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix PRODUCT along lanes (Hillis-Steele with multiplies).
-    Keeps the transmittance recurrence out of the log domain — saves two
-    log1p and one exp per element per chunk; T is bounded below by the 1e-4
-    early-termination threshold so f32 products cannot underflow."""
-    c = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
-    out = x
-    shift = 1
-    while shift < c:
-        rolled = pltpu.roll(out, shift, axis=len(x.shape) - 1)
-        out = out * jnp.where(lane >= shift, rolled, 1.0)
-        shift *= 2
-    return out
+def _scan_matmul(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Lane prefix sum of [PIX,C] via the MXU: x @ tri."""
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 def _chunk_coef(data, cx, cy):
@@ -152,19 +142,41 @@ def _power_alpha(P, coef, op):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(bounds_ref, packed_hbm, out_ref, chunk, sem, *,
+def _first_chunk_prefetch(bounds_ref, packed_hbm, pf, sem_pf, step, C,
+                          tiles_per_step):
+    """Issue chunk-0 DMAs for every tile of this grid step up front.
+
+    Tile segments average only ~1-2 chunks, so without this each tile's first
+    DMA is issued and immediately waited on — the full HBM latency lands on
+    the critical path once per tile. Prefetching all first chunks at step
+    start hides that latency behind earlier tiles' compute."""
+    for j in range(tiles_per_step):
+        t = step * tiles_per_step + j
+        start = bounds_ref[t]
+
+        @pl.when(bounds_ref[t + 1] > start)
+        def _():
+            off = pl.multiple_of(start, 128)
+            pltpu.make_async_copy(packed_hbm.at[:, pl.ds(off, C)],
+                                  pf.at[j], sem_pf.at[j]).start()
+
+
+def _fwd_kernel(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf, *,
                 chunk_size: int, tiles_x: int, tile_size: int,
                 row_offset: int, tiles_per_step: int):
     step = pl.program_id(0)
     C = chunk_size
+    _first_chunk_prefetch(bounds_ref, packed_hbm, pf, sem_pf, step, C,
+                          tiles_per_step)
+    tri = _tri(C, strict=True)
     for j in range(tiles_per_step):
         t = step * tiles_per_step + j
-        _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
-                      C, tiles_x, tile_size, row_offset)
+        _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem,
+                      sem_pf, t, j, C, tiles_x, tile_size, row_offset, tri)
 
 
-def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
-                  C, tiles_x, tile_size, row_offset):
+def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
+                  t, j, C, tiles_x, tile_size, row_offset, tri):
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
     P, cx, cy = _tile_basis(t, tiles_x, tile_size, row_offset)
@@ -177,7 +189,10 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
 
     @pl.when(nchunks > 0)
     def _():
-        dma(0, 0).start()
+        # chunk 0 was prefetched at step start; land it in the slot-0 buffer
+        pltpu.make_async_copy(packed_hbm.at[:, pl.ds(0, C)], pf.at[j],
+                              sem_pf.at[j]).wait()
+        chunk[0] = pf[j]
 
     def cond(state):
         ci, t_run, _ = state
@@ -193,21 +208,24 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, sem, t, j,
         @pl.when(ci + 1 < nchunks)
         def _():
             dma(1 - slot, ci + 1).start()
-        dma(slot, ci).wait()
+        # chunk 0 is already resident (step-start prefetch)
+        @pl.when(ci > 0)
+        def _():
+            dma(slot, ci).wait()
 
         coef, row = _chunk_coef(chunk[slot], cx, cy)
         _, _, _, alpha = _power_alpha(P, coef, row["op"])
         one_m = 1.0 - alpha
-        cum = _cumprod_lanes(one_m)
-        tcum = t_run * cum                   # T after instance i
-        # early-termination prefix: include i iff T through i >= eps;
-        # `include` is monotone along lanes (tcum non-increasing), so the
-        # masked cumulative product never needs a second scan: for
-        # included i it equals tcum, and the carry-out is the last
-        # included tcum (or t_run unchanged when nothing is included)
+        # log-domain transmittance on the MXU (see _tri): T before instance i
+        # = t_run · exp(Σ_{j<i} log(1-α_j)). Early-termination semantics are
+        # unchanged: `include` is monotone along lanes (tcum non-increasing),
+        # so for included i the prefix over all j<i equals the prefix over
+        # included j, and the carry-out is the last included tcum.
+        s_excl = _scan_matmul(jnp.log1p(-alpha), tri)
+        t_before = t_run * jnp.exp(s_excl)   # T before instance i
+        tcum = t_before * one_m              # T after instance i
         include = tcum >= T_EPS
-        alpha = jnp.where(include, alpha, 0.0)
-        w = alpha * (tcum / one_m)           # T before i; 1-α ≥ 0.01
+        w = jnp.where(include, alpha, 0.0) * t_before
         col = chunk[slot, 6:9, :]                            # [3,C]
         rgb = rgb + jax.lax.dot_general(
             w, col, (((1,), (1,)), ((), ())),
@@ -266,7 +284,9 @@ def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, PACK, chunk_size), jnp.float32),
+            pltpu.VMEM((tb, PACK, chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((tb,)),
         ],
     )
     return pl.pallas_call(
@@ -282,21 +302,25 @@ def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
-                chunk, gchunk, sem_in, sem_out, *,
+                chunk, gchunk, pf, sem_in, sem_out, sem_pf, *,
                 chunk_size: int, tiles_x: int, tile_size: int,
                 row_offset: int, tiles_per_step: int):
     step = pl.program_id(0)
     C = chunk_size
+    _first_chunk_prefetch(bounds_ref, packed_hbm, pf, sem_pf, step, C,
+                          tiles_per_step)
+    tri_s = _tri(C, strict=True)
+    tri_i = _tri(C, strict=False)
     for j in range(tiles_per_step):
         t = step * tiles_per_step + j
         _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
-                      chunk, gchunk, sem_in, sem_out, t, j, C, tiles_x,
-                      tile_size, row_offset)
+                      chunk, gchunk, pf, sem_in, sem_out, sem_pf, t, j, C,
+                      tiles_x, tile_size, row_offset, tri_s, tri_i)
 
 
 def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
-                  chunk, gchunk, sem_in, sem_out, t, j, C, tiles_x,
-                  tile_size, row_offset):
+                  chunk, gchunk, pf, sem_in, sem_out, sem_pf, t, j, C,
+                  tiles_x, tile_size, row_offset, tri_s, tri_i):
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
     P, cx, cy = _tile_basis(t, tiles_x, tile_size, row_offset)
@@ -316,7 +340,10 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
 
     @pl.when(nchunks > 0)
     def _():
-        dma_in(0, 0).start()
+        # chunk 0 was prefetched at step start; land it in the slot-0 buffer
+        pltpu.make_async_copy(packed_hbm.at[:, pl.ds(0, C)], pf.at[j],
+                              sem_pf.at[j]).wait()
+        chunk[0] = pf[j]
 
     def cond(state):
         ci, t_run, _ = state
@@ -331,25 +358,28 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
         @pl.when(ci + 1 < nchunks)
         def _():
             dma_in(1 - slot, ci + 1).start()
-        dma_in(slot, ci).wait()
+        # chunk 0 is already resident (step-start prefetch)
+        @pl.when(ci > 0)
+        def _():
+            dma_in(slot, ci).wait()
 
         def compute(carry):
             t_run, pref_u = carry
             coef, row = _chunk_coef(chunk[slot], cx, cy)
             power, _, raw, alpha0 = _power_alpha(P, coef, row["op"])
             one_m = 1.0 - alpha0
-            cum = _cumprod_lanes(one_m)
-            tcum = t_run * cum
+            # log-domain transmittance on the MXU, identical to the forward
+            T_i = t_run * jnp.exp(_scan_matmul(jnp.log1p(-alpha0), tri_s))
+            tcum = T_i * one_m
             include = tcum >= T_EPS                  # single scan (see fwd)
             alpha = jnp.where(include, alpha0, 0.0)
-            T_i = tcum / one_m                       # transmittance before i
             w = alpha * T_i                          # 0 for excluded [PIX,C]
 
             col = chunk[slot, 6:9, :]                # [3,C]
             u = jnp.dot(d_rgb, col, precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)      # [PIX,C]
             uw = u * w
-            prefix = pref_u + _cumsum_lanes(uw, strict=False)
+            prefix = pref_u + _scan_matmul(uw, tri_i)
             s_dot = q - prefix                       # (S_i · dL/dC) per (p,i)
             inv_1m = 1.0 / (1.0 - alpha)
             d_alpha = T_i * u - s_dot * inv_1m - (g_t * final_t) * inv_1m
@@ -451,8 +481,10 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((2, PACK, chunk_size), jnp.float32),
             pltpu.VMEM((2, PACK, chunk_size), jnp.float32),
+            pltpu.VMEM((tb, PACK, chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((tb,)),
         ],
     )
     return pl.pallas_call(
