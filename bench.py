@@ -35,7 +35,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         width, height, n_gauss, iters = 1280, 720, 200_000, 10
-        budget, chunk = 1 << 20, 128
+        budget, chunk = 768 * 1024, 128   # ~23% headroom over the ~624k instances
         backend = "pallas"
     else:  # CPU smoke fallback (reference backend, tiny)
         width, height, n_gauss, iters = 64, 64, 500, 2

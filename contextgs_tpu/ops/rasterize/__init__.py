@@ -93,21 +93,24 @@ _blend_pallas.defvjp(_blend_fwd, _blend_bwd)
 def _pack(gauss_rows, order, rank_aligned):
     """[G,9] splat rows → component-major [PACK, B_pad] instance table.
 
-    ONE row gather from the small [G+1,·] depth-ordered table (row gathers
-    cost ~3 ns/row from a cache-resident table vs ~10 ns/elem for scalar
-    gathers): the tile sort already delivered the depth rank per aligned slot
-    (`rank_aligned`). Sentinel ranks (G) hit the appended zero row, so
-    pad/overflow slots get zero opacity with no extra mask multiply."""
+    ONE row gather from the small [G+1,·] depth-ordered table: the tile sort
+    already delivered the depth rank per aligned slot (`rank_aligned`).
+    Sentinel ranks (G) hit the appended zero row, so pad/overflow slots get
+    zero opacity with no extra mask multiply. The gather runs row-major
+    ({1,0}, its fast layout) behind an optimization_barrier; the single
+    explicit transpose to the kernel's component-major layout is a plain
+    bandwidth-bound copy."""
     z1 = jnp.zeros((1, 9), gauss_rows.dtype)
     rows_rank = jnp.concatenate([gauss_rows[order], z1])      # [G+1, 9]
     packed = rows_rank[rank_aligned]                          # [B_pad, 9]
+    packed = jax.lax.optimization_barrier(packed)
     packed = jnp.concatenate(
         [packed, jnp.zeros((packed.shape[0], PACK - 9), packed.dtype)], axis=1)
     return packed.T
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
-def _pack_blend(gauss_rows, order, rank_aligned, tile_bounds, perm,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _pack_blend(gauss_rows, order, inv_order, rank_aligned, tile_bounds, perm,
                 seg_bounds, n_tiles: int, tiles_x: int, tile_size: int,
                 chunk_size: int, interpret: bool, row_offset: int):
     """Gather+blend with a segment-sum backward.
@@ -124,38 +127,45 @@ def _pack_blend(gauss_rows, order, rank_aligned, tile_bounds, perm,
                                 chunk_size, interpret, row_offset)
 
 
-def _pack_blend_fwd(gauss_rows, order, rank_aligned, tile_bounds, perm,
-                    seg_bounds, n_tiles, tiles_x, tile_size,
+def _pack_blend_fwd(gauss_rows, order, inv_order, rank_aligned, tile_bounds,
+                    perm, seg_bounds, n_tiles, tiles_x, tile_size,
                     chunk_size, interpret, row_offset):
     packed = _pack(gauss_rows, order, rank_aligned)
     out = blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
                                tile_size, chunk_size, interpret, row_offset)
-    res = (packed, tile_bounds, out, perm, seg_bounds, order,
+    res = (packed, tile_bounds, out, perm, seg_bounds, inv_order,
            gauss_rows.shape[0])
     return out, res
 
 
 def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
                     row_offset, res, cot):
-    packed, tile_bounds, out, perm, seg_bounds, order, G = res
+    packed, tile_bounds, out, perm, seg_bounds, inv_order, G = res
     grads = blend_backward_pallas(packed, tile_bounds, out, cot, n_tiles,
                                   tiles_x, tile_size, chunk_size, interpret,
                                   row_offset)                  # [PACK, B_pad]
     in_use = _written_mask(out, tile_bounds, n_tiles, chunk_size,
                            packed.shape[1])
     g9 = jnp.where(in_use[None, :], grads[:9], 0.0)
-    gT = jnp.concatenate([g9.T, jnp.zeros((1, 9), g9.dtype)])  # [B_pad+1, 9]
-    g_depth = gT[perm]                       # [B,9]; dropped slots → zero row
+    # materialize the row-major view behind a barrier: without it XLA fuses
+    # the transpose INTO the downstream gather/cumsum, which then run in
+    # column-major layout (~6 ms instead of a bandwidth-bound copy)
+    gRM = jax.lax.optimization_barrier(g9.T)                   # [B_pad, 9]
+    gT = jnp.concatenate([gRM, jnp.zeros((1, 9), g9.dtype)])
+    g_depth = gT[perm]                      # [B,9]; dropped slots → zero row
     cs = jnp.concatenate([jnp.zeros((1, 9), g9.dtype),
                           jnp.cumsum(g_depth, axis=0)])        # [B+1, 9]
     B = g_depth.shape[0]
     lo = jnp.clip(seg_bounds[:-1], 0, B)
     hi = jnp.clip(seg_bounds[1:], 0, B)
     per_rank = cs[hi] - cs[lo]                                 # [G, 9]
-    d_rows = jnp.zeros((G, 9), g9.dtype).at[order].set(per_rank)
+    # gather (not scatter) back to gaussian order: per-gaussian row = its
+    # depth rank's segment sum; culled gaussians have empty segments → zero
+    d_rows = per_rank[inv_order]
     f0 = _float0_like
     b_pad = packed.shape[1]
-    return (d_rows, f0(order), f0(jnp.zeros((b_pad,), jnp.int32)),
+    i0 = f0(jnp.zeros((G,), jnp.int32))
+    return (d_rows, i0, i0, f0(jnp.zeros((b_pad,), jnp.int32)),
             f0(tile_bounds), f0(perm), f0(seg_bounds))
 
 
@@ -232,15 +242,16 @@ def rasterize(
         gauss_rows = jnp.concatenate([
             proj.means2d, proj.conics, opacities[:, None], colors],
             axis=1)                                       # [G, 9]
-        tiles = _pack_blend(gauss_rows, inst.order, inst.rank_aligned,
-                            inst.tile_bounds, inst.perm,
+        tiles = _pack_blend(gauss_rows, inst.order, inst.inv_order,
+                            inst.rank_aligned, inst.tile_bounds, inst.perm,
                             inst.seg_bounds, n_tiles, tiles_x, tile_size,
                             chunk_size, interpret, row0)
-        tiles = tiles[:n_tiles]          # drop grid-batch padding tiles
-        # [n_tiles, 256, 8] → [8, band_h, W]
-        full = tiles.reshape(band_rows, tiles_x, tile_size, tile_size, 8)
+        # keep only the 4 image channels before the tile→raster shuffle —
+        # halves the layout-copy traffic (channels 4-7 are kernel-internal)
+        tiles = tiles[:n_tiles, :, 0:4]  # drop grid-batch padding tiles
+        full = tiles.reshape(band_rows, tiles_x, tile_size, tile_size, 4)
         full = full.transpose(4, 0, 2, 1, 3).reshape(
-            8, band_rows * tile_size, tiles_x * tile_size)
+            4, band_rows * tile_size, tiles_x * tile_size)
         img = full[0:3, :band_h, :width]
         final_t = full[3, :band_h, :width]
 

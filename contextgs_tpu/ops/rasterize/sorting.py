@@ -73,6 +73,7 @@ class TileInstances(NamedTuple):
     perm: jnp.ndarray          # [B] int32 depth-order slot → aligned position
                                # (b_pad for dropped/pad slots)
     order: jnp.ndarray         # [G] int32 depth rank → gaussian index
+    inv_order: jnp.ndarray     # [G] int32 gaussian index → depth rank
     seg_bounds: jnp.ndarray    # [G+1] int32 prefix sum of per-depth-rank tile
                                # counts (slot ranges in depth order, pre-cap)
 
@@ -215,7 +216,13 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
 
     # ONE scalar scatter spreads the depth rank into the aligned table; the
     # pack step is then a single [B_pad] row gather from the [G,·] splat rows
-    # (sentinel G hits an appended zero row)
+    # (sentinel G hits an appended zero row). Alternatives measured on v5e:
+    # 8-wide windowed scatter AND 8-wide windowed gather both lower to a
+    # serial while loop (~40x worse); a fill+1D-element-gather formulation
+    # costs ~7 ns/index vs ~4.6 ns/index for this scatter. Row gathers with a
+    # full trailing dimension are the only fast indexed form, and no
+    # repair-free row formulation exists here (raw segment starts are not
+    # 8-aligned).
     out_rank = jnp.full((b_pad,), G, jnp.int32).at[new_pos].set(
         rank_s, mode="drop")
     out_valid = out_rank < G
@@ -225,6 +232,11 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     # costs ~5 ms; the sort ~1 ms). Lazy: DCE'd unless the consumer needs it.
     _, perm = jax.lax.sort(
         (src_slot, jnp.where(src_valid, new_pos, b_pad)), num_keys=1)
+
+    # gaussian → depth rank (inverse of `order`), same sort-based inversion;
+    # lets the backward GATHER per-gaussian gradients instead of scattering
+    # them (scatters cost ~2x a gather of the same index count). Lazy.
+    _, inv_order = jax.lax.sort((order, iota_g), num_keys=1)
 
     # aligned src_slot table (lazy): scatter like out_rank
     out_src = jnp.full((b_pad,), budget, jnp.int32).at[new_pos].set(
@@ -246,4 +258,5 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
                          rank_slot=rank, gauss_ids=out_gauss,
                          tile_ids=out_tile, tile_bounds=bounds,
                          valid=out_valid, total=total, overflowed=overflowed,
-                         perm=perm, order=order, seg_bounds=seg_bounds)
+                         perm=perm, order=order, inv_order=inv_order,
+                         seg_bounds=seg_bounds)

@@ -1,13 +1,16 @@
 """Pallas TPU kernels: per-tile front-to-back alpha blending, fwd + analytic bwd.
 
 Replaces the CUDA reference's tile rasterizer (forward: renderCUDA; backward:
-back-to-front gradient replay). TPU-first design:
+back-to-front gradient replay; ref submodules/diff-gaussian-rasterization,
+interface reconstructed in SURVEY.md §2.9). TPU-first design:
 
-- Grid = one program per 16x16 tile. The tile's 256 pixels live on the
-  *sublane* axis; instances stream through VMEM on the *lane* axis in chunks
-  of C, DMA'd from a component-major [16, B_pad] HBM table at the tile's
-  segment offset. Segments are pre-aligned to C (sorting.py), so every DMA is
-  lane-aligned and chunks never cross tiles — no masking, no overlap.
+- Grid = one program per 16x16 tile (TILES_PER_STEP tiles per grid step). The
+  tile's 256 pixels live on the *sublane* axis; instances stream through VMEM
+  on the *lane* axis in chunks of C, DMA'd from a component-major [16, B_pad]
+  HBM table at the tile's segment offset. Segments are pre-aligned to C
+  (sorting.py), so every DMA is lane-aligned and chunks never cross tiles —
+  no masking, no overlap. (Mosaic requires DMA slices aligned to the 128-lane
+  tiling, which rules out streaming a row-major [B_pad, 16] table directly.)
 - The sequential front-to-back transmittance recurrence is restated as an
   exclusive prefix sum of log(1-alpha) along the chunk axis, computed with a
   triangular matmul on the MXU; color accumulation is a [PIX,C]@[C,3] matmul.
@@ -18,7 +21,7 @@ back-to-front gradient replay). TPU-first design:
   the forward outputs.
 - Per-instance gradients go to disjoint lane segments of a [16, B_pad] HBM
   buffer, then reach per-gaussian form via the autodiff transpose of the
-  instance gather (an XLA segment-sum).
+  instance gather (an XLA segment-sum over depth-contiguous rows).
 
 Component row layout (16 rows; Mosaic DMA slices must be sublane-aligned to 8,
 and the kernel is chunk-overhead/VPU-bound, not DMA-bandwidth-bound, so the pad
@@ -40,17 +43,8 @@ from contextgs_tpu.ops.rasterize.common import (ALPHA_EPS, LOG_T_EPS,  # noqa: F
 
 PACK = 16          # instance component rows (sublane-tiling multiple of 8)
 PIX = 256          # pixels per 16x16 tile
-OUTC = 8           # output channels per pixel: rgb, T, logT, pad
-
-
-def _tile_pixel_coords(t, tiles_x: int, tile_size: int, row_offset: int = 0):
-    """Pixel centers of tile `t` as ([PIX,1], [PIX,1]) floats (row-major)."""
-    tile_y = t // tiles_x + row_offset
-    tile_x = t - (t // tiles_x) * tiles_x
-    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = (tile_x * tile_size + p % tile_size).astype(jnp.float32)
-    py = (tile_y * tile_size + p // tile_size).astype(jnp.float32)
-    return px, py
+OUTC = 8           # output channels per pixel: rgb, T, logT, watermark, pad
+ET_MIN_CHUNKS = 2  # segments at most this long skip the early-term check
 
 
 def _tile_basis(t, tiles_x: int, tile_size: int, row_offset: int = 0):
@@ -84,7 +78,7 @@ def _tri(c: int, strict: bool) -> jnp.ndarray:
 
     Lane scans are the kernels' hottest VPU block: a Hillis-Steele roll scan
     costs ~3·log2(C) full [PIX,C] passes, while one [PIX,C]@[C,C] matmul rides
-    the MXU (~5 VPU-pass-equivalents at HIGHEST) — measured 35% faster forward
+    the MXU (~5 VPU-pass-equivalents at HIGHEST; Mosaic lacks HIGH) — 35% faster fwd
     at C=128. The transmittance recurrence therefore runs in log space
     (log1p/exp at ~1e-6 relative error; sums are bounded by log(T_EPS)≈-9 in
     the included region, so no precision compounding)."""
@@ -198,7 +192,9 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
         ci, t_run, _ = state
         # CUDA-style early termination, chunk-granular: BREAK the stream once
         # every pixel of the tile is saturated — skips the remaining chunks'
-        # DMAs entirely, not just their compute
+        # DMAs entirely, not just their compute. The jnp.max is a
+        # vector→scalar sync on the loop's critical path, which is why short
+        # segments take the fori_loop path below instead.
         return (ci < nchunks) & (jnp.max(t_run) >= T_EPS)
 
     def body(state):
@@ -237,21 +233,41 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
 
     t0 = jnp.ones((PIX, 1), jnp.float32)
     rgb0 = jnp.zeros((PIX, 3), jnp.float32)
-    ci_end, t_run, rgb = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, rgb0))
 
-    # drain the prefetched-but-unconsumed chunk after an early break
-    @pl.when(ci_end < nchunks)
+    def epilogue(ci_end, t_run, rgb):
+        out_ref[j, :, 0:3] = rgb
+        out_ref[j, :, 3] = t_run[:, 0]
+        out_ref[j, :, 4] = jnp.log(jnp.maximum(t_run, 1e-30))[:, 0]
+        # channel 5: chunks processed (watermark) — the backward runs exactly
+        # this many chunks (fori, no per-chunk sync) and the XLA side masks
+        # the never-written gradient region past it
+        out_ref[j, :, 5] = jnp.full((PIX,), 1.0, jnp.float32) * ci_end
+        out_ref[j, :, 6:OUTC] = jnp.zeros((PIX, OUTC - 6), jnp.float32)
+
+    # Short segments (the common case: segments average 1-2 chunks) run a
+    # fori_loop with no early-termination check — the check's vector→scalar
+    # sync costs about as much as blending another chunk. Long segments keep
+    # the early-breaking while_loop, where the sync amortizes and the skipped
+    # tail dominates. pl.when branches (not lax.cond) so only one loop
+    # executes.
+    @pl.when(nchunks <= ET_MIN_CHUNKS)
     def _():
-        dma(jax.lax.rem(ci_end, 2), ci_end).wait()
+        _, t_run, rgb = jax.lax.fori_loop(
+            0, nchunks, lambda ci, st: body((ci,) + st[1:]),
+            (jnp.int32(0), t0, rgb0))
+        epilogue(nchunks, t_run, rgb)
 
-    out_ref[j, :, 0:3] = rgb
-    out_ref[j, :, 3] = t_run[:, 0]
-    out_ref[j, :, 4] = jnp.log(jnp.maximum(t_run, 1e-30))[:, 0]
-    # channel 5: chunks processed (watermark) — backward masks the gradient
-    # region it never writes after its own identical early break
-    out_ref[j, :, 5] = jnp.full((PIX,), 1.0, jnp.float32) * ci_end
-    out_ref[j, :, 6:OUTC] = jnp.zeros((PIX, OUTC - 6), jnp.float32)
+    @pl.when(nchunks > ET_MIN_CHUNKS)
+    def _():
+        ci_end, t_run, rgb = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t0, rgb0))
+
+        # drain the prefetched-but-unconsumed chunk after an early break
+        @pl.when(ci_end < nchunks)
+        def _():
+            dma(jax.lax.rem(ci_end, 2), ci_end).wait()
+
+        epilogue(ci_end, t_run, rgb)
 
 
 TILES_PER_STEP = 8   # grid steps carry fixed overhead (~30 us); batch tiles
@@ -264,7 +280,8 @@ def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
     """packed [PACK, B_pad] f32, tile_bounds [n_tiles_pad+1] i32 →
     [n_tiles_pad, PIX, OUTC] with n_tiles_pad = ceil(n_tiles/TILES_PER_STEP).
 
-    Output channels: 0-2 accumulated RGB (no background), 3 final T, 4 final logT.
+    Output channels: 0-2 accumulated RGB (no background), 3 final T,
+    4 final logT, 5 per-tile chunk watermark.
     """
     tb = TILES_PER_STEP
     n_steps = -(-n_tiles // tb)
@@ -301,7 +318,7 @@ def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
 # Backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
+def _bwd_kernel(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                 chunk, gchunk, pf, sem_in, sem_out, sem_pf, *,
                 chunk_size: int, tiles_x: int, tile_size: int,
                 row_offset: int, tiles_per_step: int):
@@ -313,18 +330,16 @@ def _bwd_kernel(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
     tri_i = _tri(C, strict=False)
     for j in range(tiles_per_step):
         t = step * tiles_per_step + j
-        _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
-                      chunk, gchunk, pf, sem_in, sem_out, sem_pf, t, j, C,
-                      tiles_x, tile_size, row_offset, tri_s, tri_i)
+        _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref,
+                      grad_hbm, chunk, gchunk, pf, sem_in, sem_out, sem_pf,
+                      t, j, C, tiles_x, tile_size, row_offset, tri_s, tri_i)
 
 
-def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
+def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                   chunk, gchunk, pf, sem_in, sem_out, sem_pf, t, j, C,
                   tiles_x, tile_size, row_offset, tri_s, tri_i):
     start = bounds_ref[t]
-    end = bounds_ref[t + 1]
     P, cx, cy = _tile_basis(t, tiles_x, tile_size, row_offset)
-    nchunks = (end - start) // C
 
     d_rgb = cot_ref[j, :, 0:3]                       # [PIX,3] dL/d accum rgb
     g_t = cot_ref[j, :, 3:4]                         # [PIX,1] dL/dT_final
@@ -338,24 +353,26 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
         return pltpu.make_async_copy(packed_hbm.at[:, pl.ds(off, C)],
                                      chunk.at[slot], sem_in.at[slot])
 
-    @pl.when(nchunks > 0)
+    # the forward recorded how many chunks it processed (the watermark,
+    # passed in as a prefetched SMEM scalar — reading it out of the VMEM fwd
+    # block would be a vector→scalar sync per tile); replay exactly that many
+    # chunks with a fori_loop — no per-chunk vector→scalar early-termination
+    # sync, no wasted chunks past saturation. Gradients of every chunk past
+    # the watermark are exactly zero (excluded instances); the XLA side masks
+    # that never-written region of grad_hbm.
+    wm = wm_ref[t]
+
+    @pl.when(wm > 0)
     def _():
         # chunk 0 was prefetched at step start; land it in the slot-0 buffer
         pltpu.make_async_copy(packed_hbm.at[:, pl.ds(0, C)], pf.at[j],
                               sem_pf.at[j]).wait()
         chunk[0] = pf[j]
 
-    def cond(state):
-        ci, t_run, _ = state
-        # identical early break to the forward: gradients of every excluded
-        # instance are zero; the XLA side masks the unwritten region using
-        # the forward's per-tile watermark (fwd out channel 5)
-        return (ci < nchunks) & (jnp.max(t_run) >= T_EPS)
-
     def body(state):
         ci, t_run, pref_u = state
         slot = jax.lax.rem(ci, 2)
-        @pl.when(ci + 1 < nchunks)
+        @pl.when(ci + 1 < wm)
         def _():
             dma_in(1 - slot, ci + 1).start()
         # chunk 0 is already resident (step-start prefetch)
@@ -432,12 +449,8 @@ def _bwd_one_tile(bounds_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
 
     init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32))
-    ci_end, _, _ = jax.lax.while_loop(cond, body, init)
-
-    # drain the prefetched-but-unconsumed input chunk after an early break
-    @pl.when(ci_end < nchunks)
-    def _():
-        dma_in(jax.lax.rem(ci_end, 2), ci_end).wait()
+    ci_end, _, _ = jax.lax.fori_loop(
+        0, wm, lambda ci, st: body((ci,) + st[1:]), init)
 
     # drain the (up to two) outstanding gradient DMAs before the next tile
     # reuses the gchunk slots
@@ -467,14 +480,15 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
     kernel = functools.partial(_bwd_kernel, chunk_size=chunk_size,
                                tiles_x=tiles_x, tile_size=tile_size,
                                row_offset=row_offset, tiles_per_step=tb)
+    watermarks = fwd_out[:, 0, 5].astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((tb, PIX, OUTC), lambda i, b: (i, 0, 0),
+            pl.BlockSpec((tb, PIX, OUTC), lambda i, b, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, PIX, OUTC), lambda i, b: (i, 0, 0),
+            pl.BlockSpec((tb, PIX, OUTC), lambda i, b, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -493,4 +507,4 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_bounds, packed, fwd_out, cotangent)
+    )(tile_bounds, watermarks, packed, fwd_out, cotangent)

@@ -70,6 +70,8 @@ def make_variant(mode, tps=8):
 
         def cond(state):
             ci, t_run, _ = state
+            if mode in ("noet", "noetmin"):
+                return ci < nchunks
             return (ci < nchunks) & (jnp.max(t_run) >= T_EPS)
 
         def body(state):
@@ -88,7 +90,7 @@ def make_variant(mode, tps=8):
                 rgb = rgb + jnp.sum(chunk[slot, 0:3, :]).reshape(1, 1)
                 return ci + 1, t_run, rgb
             coef, row = tk._chunk_coef(chunk[slot], cx, cy)
-            if mode == "mxuscan":
+            if mode in ("mxuscan", "noet", "noetmin"):
                 _, _, _, alpha = tk._power_alpha(P, coef, row["op"])
                 one_m = 1.0 - alpha
                 s = jnp.log1p(-alpha)
@@ -108,8 +110,9 @@ def make_variant(mode, tps=8):
                     w, col, (((1,), (1,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
-                t_run = jnp.min(jnp.where(include, tcum, t_run), axis=1,
-                                keepdims=True)
+                if mode != "noetmin":
+                    t_run = jnp.min(jnp.where(include, tcum, t_run), axis=1,
+                                    keepdims=True)
                 return ci + 1, t_run, rgb
             if mode == "noexp":
                 power = jax.lax.dot_general(
@@ -208,10 +211,5 @@ def run_keep(mode):
     jax.block_until_ready(o)
     print(f"{mode:8s} {(time.perf_counter()-t0)/20*1000:7.2f} ms")
 
-for m in ("full", "noscan", "noexp", "nodiv", "empty", "mxuscan"):
-    if m in ("full", "mxuscan"):
-        run_keep(m)
-    else:
-        run(m)
-d = np.abs(outs["full"][:, :, :4] - outs["mxuscan"][:, :, :4])
-print("mxuscan vs full max abs diff:", d.max())
+for m in ("mxuscan", "noet", "noetmin", "empty"):
+    run(m)

@@ -1,163 +1,130 @@
 #!/usr/bin/env python
-"""Micro-profile of the pieces inside expand_and_sort (real chip)."""
-
-import os
-import time
-
+"""Incremental-output timing of expand_and_sort internals."""
+import os, sys, time, math, functools
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_cc"))
-
-import math
-
-import jax
-import jax.numpy as jnp
 import numpy as np
-
-from contextgs_tpu.ops.rasterize.projection import project_gaussians
+import jax, jax.numpy as jnp
+from contextgs_tpu.ops.rasterize import project_gaussians
+from contextgs_tpu.ops.rasterize.sorting import padded_size
 from contextgs_tpu.scene.cameras import Camera
 
-WIDTH, HEIGHT, N_GAUSS, ITERS = 1280, 720, 200_000, 10
-BUDGET, ALIGN = 1 << 20, 128
-TILE = 16
+width, height, n_gauss = 1280, 720, 200_000
+budget, align = 1 << 20, 128
+tile_size, tiles_x, tiles_y = 16, 80, 45
+n_tiles = tiles_x * tiles_y
+
+rng = np.random.default_rng(0)
+means = np.stack([rng.uniform(-3, 3, n_gauss), rng.uniform(-2, 2, n_gauss),
+                  rng.uniform(2.0, 12.0, n_gauss)], 1).astype(np.float32)
+scales = rng.uniform(0.004, 0.02, (n_gauss, 3)).astype(np.float32)
+quats = rng.normal(size=(n_gauss, 4)).astype(np.float32)
+quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+cam = Camera(uid=0, colmap_id=0, R=np.eye(3), T=np.zeros(3), fov_x=1.2,
+             fov_y=2 * math.atan(math.tan(0.6) * height / width),
+             image=None, width=width, height=height)
+wv, fp = jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj)
+proj = jax.block_until_ready(jax.jit(lambda m, s, q: project_gaussians(
+    m, s, q, wv, fp, cam.tanfovx, cam.tanfovy, width, height, tile_size,
+    1.0))(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats)))
 
 
-def timeit(name, fn, *xs):
-    @jax.jit
-    def chained(*xs):
-        def body(i, c):
-            # runtime-zero perturbation the compiler cannot fold away, for
-            # float AND int leaves, so the stage cannot be hoisted out of
-            # the loop
-            x0 = jax.tree.map(
-                lambda a: a + (c * 1e-30).astype(a.dtype)
-                if a.dtype != jnp.bool_ else a, xs[0])
-            out = fn(x0, *xs[1:])
-            s = sum(jnp.sum(l).astype(jnp.float32)
-                    for l in jax.tree_util.tree_leaves(out))
-            return 0.5 * c + 1e-20 * s
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
-    chained(*xs).block_until_ready()
-    t0 = time.time()
-    chained(*xs).block_until_ready()
-    dt = (time.time() - t0) / ITERS * 1e3
-    print(f"{name:28s} {dt:8.2f} ms")
-    return dt
+def staged(p, upto):
+    """Replicates expand_and_sort with a stage cut-off."""
+    G = p.n_tiles.shape[0]
+    wx = max(tiles_x - 1, 1).bit_length()
+    wy = max(tiles_y - 1, 1).bit_length()
+    ww = max(tiles_x, 1).bit_length()
+    wc = max(n_tiles, 1).bit_length()
+    dkey = jnp.where(p.n_tiles > 0, p.depths, jnp.inf)
+    iota_g = jnp.arange(G, dtype=jnp.int32)
+    b_rmx = p.rect_min[:, 0]
+    b_rmy = p.rect_min[:, 1]
+    b_rw = jnp.maximum(p.rect_max[:, 0] - b_rmx, 1)
+    b_cnt = p.n_tiles.astype(jnp.int32)
+    u = jnp.uint32
+    gpack = (b_rmx.astype(u) | (b_rmy.astype(u) << wx)
+             | (b_rw.astype(u) << (wx + wy))
+             | (b_cnt.astype(u) << (wx + wy + ww)))
+    _, gpack_s, order = jax.lax.sort((dkey, gpack, iota_g), num_keys=1,
+                                     is_stable=True)
+    rmin_x = (gpack_s & ((1 << wx) - 1)).astype(jnp.int32)
+    rmin_y = ((gpack_s >> wx) & ((1 << wy) - 1)).astype(jnp.int32)
+    rect_w = ((gpack_s >> (wx + wy)) & ((1 << ww) - 1)).astype(jnp.int32)
+    counts = (gpack_s >> (wx + wy + ww)).astype(jnp.int32)
+    incl = jnp.cumsum(counts)
+    offsets = (incl - counts).astype(jnp.int32)
+    seg_bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  incl.astype(jnp.int32)])
+    if upto == "depth_sort":
+        return order, seg_bounds
+    total = jnp.minimum(incl[-1], budget)
+    slots = jnp.arange(budget, dtype=jnp.int32)
+    valid = slots < total
 
+    def ffill(vals):
+        d = vals - jnp.concatenate([jnp.zeros((1,), vals.dtype), vals[:-1]])
+        heads = jnp.zeros((budget,), vals.dtype).at[offsets].add(d, mode="drop")
+        return jnp.cumsum(heads)
 
-def main():
-    rng = np.random.default_rng(0)
-    means = np.stack([rng.uniform(-3, 3, N_GAUSS), rng.uniform(-2, 2, N_GAUSS),
-                      rng.uniform(2.0, 12.0, N_GAUSS)], 1).astype(np.float32)
-    scales = rng.uniform(0.004, 0.02, (N_GAUSS, 3)).astype(np.float32)
-    quats = rng.normal(size=(N_GAUSS, 4)).astype(np.float32)
-    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-
-    cam = Camera(uid=0, colmap_id=0, R=np.eye(3), T=np.zeros(3), fov_x=1.2,
-                 fov_y=2 * math.atan(math.tan(0.6) * HEIGHT / WIDTH),
-                 image=None, width=WIDTH, height=HEIGHT)
-    tiles_x = WIDTH // TILE
-    tiles_y = HEIGHT // TILE
-    n_tiles = tiles_x * tiles_y
-
-    proj = jax.jit(lambda m, s, q: project_gaussians(
-        m, s, q, jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj),
-        cam.tanfovx, cam.tanfovy, WIDTH, HEIGHT, TILE))(
-            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats))
-    jax.block_until_ready(proj)
-
-    G = N_GAUSS
-    budget = BUDGET
-    align = ALIGN
-
-    # phase 1
-    def phase1(proj):
-        dkey = jnp.where(proj.n_tiles > 0, proj.depths, jnp.inf)
-        order = jnp.argsort(dkey, stable=True).astype(jnp.int32)
-        counts = proj.n_tiles[order].astype(jnp.int32)
-        rmin_x = proj.rect_min[order, 0]
-        rmin_y = proj.rect_min[order, 1]
-        rect_w = jnp.maximum(proj.rect_max[order, 0] - rmin_x, 1)
-        return order, counts, rmin_x, rmin_y, rect_w
-
-    p1 = jax.jit(phase1)(proj)
-    jax.block_until_ready(p1)
-    order, counts, rmin_x, rmin_y, rect_w = p1
-
-    def expand(counts, rmin_x, rmin_y, rect_w, order):
-        incl = jnp.cumsum(counts)
-        offsets = incl - counts
-        total = jnp.minimum(incl[-1], budget)
-        slots = jnp.arange(budget, dtype=jnp.int32)
-        heads = jnp.zeros((budget,), jnp.int32).at[offsets].add(1, mode="drop")
-        gi = jnp.cumsum(heads) - 1
-        gi = jnp.clip(gi, 0, G - 1)
-        k = slots - offsets[gi]
-        valid = slots < total
-        ty = k // rect_w[gi]
-        tx = k - ty * rect_w[gi]
-        tile = (rmin_y[gi] + ty) * tiles_x + rmin_x[gi] + tx
-        tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
-        return tile, gi, slots
-
-    ex = jax.jit(expand)(counts, rmin_x, rmin_y, rect_w, order)
-    jax.block_until_ready(ex)
-    tile, gi, slots = ex
-
+    w1 = ffill((iota_g << (ww + wy)) | (rect_w << wy) | rmin_y)
+    w2 = ffill((offsets << wx) | rmin_x)
+    rank = jax.lax.shift_right_logical(w1, ww + wy)
+    rect_w_f = (w1 >> wy) & ((1 << ww) - 1)
+    rmin_y_f = w1 & ((1 << wy) - 1)
+    off_fill = jax.lax.shift_right_logical(w2, wx)
+    rmin_x_f = w2 & ((1 << wx) - 1)
+    rank = jnp.where(valid, jnp.clip(rank, 0, max(G - 1, 0)), G)
+    rect_w_f = jnp.maximum(rect_w_f, 1)
+    k = slots - off_fill
+    ty = (k.astype(jnp.float32) / rect_w_f.astype(jnp.float32)).astype(jnp.int32)
+    tx = k - ty * rect_w_f
+    tile = (rmin_y_f + ty) * tiles_x + rmin_x_f + tx
+    tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
+    if upto == "fills":
+        return order, seg_bounds, rank, tile
     bits_slot = max(1, (budget - 1).bit_length())
-    def sort1(tile, slots):
-        key = (tile.astype(jnp.uint32) << bits_slot) | slots.astype(jnp.uint32)
-        key_s = jax.lax.sort(key)
-        return key_s
-
-    def sort3(tile, gi, slots, order):
-        return jax.lax.sort((tile, order[gi], slots), num_keys=1)
-
-    ks = jax.jit(sort1)(tile, slots)
-    jax.block_until_ready(ks)
-    s3 = jax.jit(sort3)(tile, gi, slots, order)
-    jax.block_until_ready(s3)
-    tile_s = s3[0]
-    src_slot = s3[2]
-
-    def align_phase(tile_s, src_slot, gi, order):
-        gauss_s = order[gi[src_slot]]
-        raw_bounds = jnp.searchsorted(
-            tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)
-        seg_len = raw_bounds[1:] - raw_bounds[:-1]
-        pad_len = ((seg_len + align - 1) // align) * align
-        bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                  jnp.cumsum(pad_len).astype(jnp.int32)])
-        b_pad = budget + n_tiles * align
-        delta = bounds[:-1] - raw_bounds[:-1]
-        src_valid = tile_s < n_tiles
-        new_pos = jnp.where(
-            src_valid,
-            jnp.arange(budget, dtype=jnp.int32) +
-            delta[jnp.clip(tile_s, 0, n_tiles - 1)],
-            b_pad)
-        out_gauss = jnp.full((b_pad,), -1, jnp.int32).at[new_pos].set(
-            gauss_s, mode="drop")
-        out_valid = out_gauss >= 0
-        out_gauss = jnp.maximum(out_gauss, 0)
-        tile_heads = jnp.zeros((b_pad,), jnp.int32).at[bounds[1:]].add(
-            1, mode="drop")
-        out_tile = jnp.cumsum(tile_heads)
-        out_tile = jnp.where(out_valid, out_tile, n_tiles).astype(jnp.int32)
-        perm = jnp.full((budget,), b_pad, jnp.int32).at[src_slot].set(
-            jnp.where(src_valid, new_pos, b_pad), mode="drop")
-        return out_gauss, out_valid, out_tile, perm, bounds
-
-    ap = jax.jit(align_phase)(tile_s, src_slot, gi, order)
-    jax.block_until_ready(ap)
-
-    timeit("phase1 argsort+gather", phase1, proj)
-    timeit("expand (cumsum+gather)", expand, counts, rmin_x, rmin_y, rect_w,
-           order)
-    timeit("sort uint32 nopayload", sort1, tile, slots)
-    timeit("sort 3-operand", sort3, tile, gi, slots, order)
-    timeit("align+scatter", align_phase, tile_s, src_slot, gi, order)
+    key = (tile.astype(jnp.uint32) << bits_slot) | slots.astype(jnp.uint32)
+    key_s, rank_s = jax.lax.sort((key, rank), num_keys=1)
+    tile_s = (key_s >> bits_slot).astype(jnp.int32)
+    src_slot = (key_s & ((1 << bits_slot) - 1)).astype(jnp.int32)
+    if upto == "tile_sort":
+        return order, seg_bounds, rank_s, tile_s
+    raw_bounds = jnp.searchsorted(
+        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left",
+        method="sort"
+    ).astype(jnp.int32)
+    if upto == "bounds":
+        return order, seg_bounds, rank_s, raw_bounds
+    seg_len = raw_bounds[1:] - raw_bounds[:-1]
+    pad_len = ((seg_len + align - 1) // align) * align
+    bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(pad_len).astype(jnp.int32)])
+    b_pad = padded_size(budget, n_tiles, align)
+    delta = bounds[:-1] - raw_bounds[:-1]
+    dd = delta - jnp.concatenate([jnp.zeros((1,), jnp.int32), delta[:-1]])
+    shift = jnp.zeros((budget,), jnp.int32).at[raw_bounds[:-1]].add(
+        dd, mode="drop")
+    src_valid = tile_s < n_tiles
+    new_pos = jnp.where(src_valid, slots + jnp.cumsum(shift), b_pad)
+    out_rank = jnp.full((b_pad,), G, jnp.int32).at[new_pos].set(
+        rank_s, mode="drop")
+    if upto == "scatter":
+        return order, seg_bounds, out_rank, bounds
+    _, perm = jax.lax.sort(
+        (src_slot, jnp.where(src_valid, new_pos, b_pad)), num_keys=1)
+    return order, seg_bounds, out_rank, bounds, perm
 
 
-if __name__ == "__main__":
-    main()
+def timeit(name, fn, *a, iters=20):
+    o = jax.block_until_ready(jax.jit(fn)(*a))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = jax.jit(fn)(*a)
+    jax.block_until_ready(o)
+    print(f"{name:16s} {(time.perf_counter()-t0)/iters*1000:8.2f} ms")
+
+
+for stage in ("depth_sort", "fills", "tile_sort", "bounds", "scatter", "all"):
+    timeit(stage, functools.partial(staged, upto=stage), proj)
