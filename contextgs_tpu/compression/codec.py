@@ -22,6 +22,7 @@ losslessness, near-identical rate).
 
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 import time
@@ -43,6 +44,19 @@ from contextgs_tpu.models.quant import ANCHOR_ROUND_DIGITS, CLAMP_STEPS, Q_ANCHO
 from contextgs_tpu.utils.checkpoint import load_pytree, save_pytree
 
 CHUNK = 1000          # anchors per entropy-coding chunk (ref MAX_batch_size)
+# Jitted codec stages (level maps, context predictor) run on anchor arrays
+# padded to the next power of two (min 1024): anchor counts differ per scene
+# and per checkpoint, and every fresh shape would otherwise recompile —
+# tens of seconds per compile through this environment's remote compiler
+# dominates small-scene encode/decode wall time. Pad rows are masked out of
+# every level (alive=False) and never selected for coding; encoder and
+# decoder use the same bucket, preserving the bit-exactness contract.
+
+def _bucket(n: int) -> int:
+    b = 1024
+    while b < n:
+        b *= 2
+    return b
 # Per-element CDF windows. The reference builds [N, range] tables over the raw
 # chunk min/max (encodings.py:91-97), which explodes to GBs when a stream has
 # outliers (SURVEY.md §7 hard-part 4). Here each element gets a window of W
@@ -55,6 +69,12 @@ CHUNK = 1000          # anchors per entropy-coding chunk (ref MAX_batch_size)
 MIN_WINDOW = 64
 MAX_WINDOW = 2048
 MAX_SYMBOL_RANGE = 1 << 12   # secondary guard for the hyper stream tables
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _jit_level_maps(anchor_q, alive, voxel_size, level_scales, level_num):
+    return build_level_maps(anchor_q, alive, voxel_size, level_scales,
+                            level_num)
 
 
 class DecodedScene(NamedTuple):
@@ -204,18 +224,20 @@ def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
     with open(os.path.join(out_dir, "masks.b"), "wb") as f:
         f.write(mask_stream)
 
-    # --- level structure on decoded anchors ---
-    anchor_q = jnp.asarray(anchor_q_np)
-    alive = jnp.ones((n,), bool)
-    maps = jax.jit(lambda a: build_level_maps(
-        a, alive, voxel_size, tuple(level_scales), cfg.level_num))(anchor_q)
-    level = np.asarray(maps.level)
+    # --- level structure on decoded anchors (bucket-padded, see _bucket) ---
+    n_pad = _bucket(n)
+    anchor_q = jnp.asarray(np.pad(anchor_q_np, ((0, n_pad - n), (0, 0))))
+    alive = jnp.arange(n_pad) < n
+    maps = _jit_level_maps(anchor_q, alive, voxel_size, tuple(level_scales),
+                           cfg.level_num)
+    level = np.asarray(maps.level)[:n]
     parent = maps.parent
 
     predictor = make_level_predictor(cfg)
-    hyper_ctx = jnp.asarray(hyper_deq * (0.0 if disable_hyper else 1.0))
-    feat_state = jnp.zeros((n, cfg.feat_dim), jnp.float32)
-    scaling_state = jnp.zeros((n, 6), jnp.float32)
+    hyper_ctx = jnp.asarray(np.pad(
+        hyper_deq * (0.0 if disable_hyper else 1.0), ((0, n_pad - n), (0, 0))))
+    feat_state = jnp.zeros((n_pad, cfg.feat_dim), jnp.float32)
+    scaling_state = jnp.zeros((n_pad, 6), jnp.float32)
 
     feat_np = np.asarray(params.anchor_feat)[idx_keep]
     scaling_np = np.exp(np.asarray(params.scaling_log)[idx_keep])
@@ -227,7 +249,7 @@ def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
     offsets_q_np = np.zeros_like(offsets_np)
 
     for li in reversed(range(cfg.level_num)):
-        ep = predictor(params, li, anchor_q, feat_state, scaling_state,
+        ep = predictor(params.mlps, li, anchor_q, feat_state, scaling_state,
                        parent, hyper_ctx)
         idx = np.where(level == li)[0]
         eph = _ep_host(ep, idx)
@@ -293,8 +315,8 @@ def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
     bits["total"] = sum(bits.values())
     bits["time_s"] = time.time() - t0
     if return_states:
-        states = dict(anchor=anchor_q_np, feat=np.asarray(feat_state),
-                      scaling=np.asarray(scaling_state),
+        states = dict(anchor=anchor_q_np, feat=np.asarray(feat_state)[:n],
+                      scaling=np.asarray(scaling_state)[:n],
                       offsets=offsets_q_np.reshape(n, cfg.n_offsets, 3),
                       masks=masks, hyper=hyper_deq, level=level)
         return bits, states
@@ -345,22 +367,20 @@ def decode_scene(out_dir: str, cfg: ModelConfig, mlps_like=None,
     masks = masks.reshape(n, cfg.n_offsets).astype(np.float32)
 
     # levels on decoded anchors — identical computation to the encoder
-    anchor_q = jnp.asarray(anchor_np)
-    alive = jnp.ones((n,), bool)
-    maps = jax.jit(lambda a: build_level_maps(
-        a, alive, meta["voxel_size"], tuple(meta["level_scales"]),
-        cfg.level_num))(anchor_q)
-    level = np.asarray(maps.level)
+    n_pad = _bucket(n)
+    anchor_q = jnp.asarray(np.pad(anchor_np, ((0, n_pad - n), (0, 0))))
+    alive = jnp.arange(n_pad) < n
+    maps = _jit_level_maps(anchor_q, alive, meta["voxel_size"],
+                           tuple(meta["level_scales"]), cfg.level_num)
+    level = np.asarray(maps.level)[:n]
     parent = maps.parent
 
-    class _P(NamedTuple):
-        mlps: object
-    params_like = _P(mlps=mlps)
-
     predictor = make_level_predictor(cfg)
-    hyper_ctx = jnp.asarray(hyper * (0.0 if meta["disable_hyper"] else 1.0))
-    feat_state = jnp.zeros((n, cfg.feat_dim), jnp.float32)
-    scaling_state = jnp.zeros((n, 6), jnp.float32)
+    hyper_ctx = jnp.asarray(np.pad(
+        hyper * (0.0 if meta["disable_hyper"] else 1.0),
+        ((0, n_pad - n), (0, 0))))
+    feat_state = jnp.zeros((n_pad, cfg.feat_dim), jnp.float32)
+    scaling_state = jnp.zeros((n_pad, 6), jnp.float32)
     feat_out = np.zeros((n, cfg.feat_dim), np.float32)
     scaling_out = np.zeros((n, 6), np.float32)
     offsets_out = np.zeros((n, 3 * cfg.n_offsets), np.float32)
@@ -373,7 +393,7 @@ def decode_scene(out_dir: str, cfg: ModelConfig, mlps_like=None,
 
     for entry in sorted((e for e in meta["levels"]), key=lambda e: -e["level"]):
         li = entry["level"]
-        ep = predictor(params_like, li, anchor_q, feat_state, scaling_state,
+        ep = predictor(mlps, li, anchor_q, feat_state, scaling_state,
                        parent, hyper_ctx)
         idx = np.where(level == li)[0]
         assert len(idx) == entry["count"], \

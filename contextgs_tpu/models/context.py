@@ -87,10 +87,12 @@ def make_level_predictor(cfg: ModelConfig):
     The encoder and decoder (compression/codec.py) must produce bit-identical
     μ/σ/Q — both call this one jitted function with identically-shaped inputs
     (the reference relies on cudnn.deterministic for the same contract,
-    ref gaussian_model.py:1009,1301)."""
+    ref gaussian_model.py:1009,1301). Takes the MLP pytree directly (not the
+    whole Params) so both sides produce the same HLO → one compile-cache
+    entry."""
 
     @functools.partial(jax.jit, static_argnums=(1,))
-    def predict(params: st.Params, level: int, anchor_q, feat_state,
+    def predict(mlps, level: int, anchor_q, feat_state,
                 scaling_state, parent, hyper_ctx) -> EntropyParams:
         if level == cfg.level_num - 1:
             feat_in = jnp.concatenate([anchor_q, hyper_ctx], axis=1)
@@ -99,7 +101,7 @@ def make_level_predictor(cfg: ModelConfig):
             feat_in = jnp.concatenate(
                 [anchor_q[p], feat_state[p], scaling_state[p], hyper_ctx],
                 axis=1)
-        return predict_entropy_params(params.mlps, level, feat_in, cfg)
+        return predict_entropy_params(mlps, level, feat_in, cfg)
 
     return predict
 
