@@ -217,7 +217,7 @@ def rasterize(
     proj = project_gaussians(means3d, scales, quats, world_view, full_proj,
                              tanfovx, tanfovy, width, height, tile_size,
                              scale_modifier, valid=valid,
-                             tile_band=tile_band)
+                             tile_band=tile_band, opacities=opacities)
     if screen_dummy is not None:
         # densification-statistics hook (ref gaussian_renderer/__init__.py:168-173):
         # caller passes zeros and reads the cotangent; the 0.5·W/0.5·H factors

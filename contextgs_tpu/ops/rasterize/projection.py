@@ -66,6 +66,8 @@ def project_gaussians(
     tile_band: tuple | None = None,     # (row0, n_rows): clamp rects to a
                                         # horizontal tile band (multi-chip
                                         # tile sharding)
+    opacities: jnp.ndarray | None = None,  # [G]; enables the tight
+                                        # opacity-aware ellipse-bbox tile rect
 ) -> ProjectedGaussians:
     """EWA-project all gaussians to screen space.
 
@@ -169,16 +171,36 @@ def project_gaussians(
         row_hi = min(tile_band[0] + tile_band[1], tiles_y)
     m2i = jax.lax.stop_gradient(means2d)
     r = jax.lax.stop_gradient(radius_f)
+    if opacities is not None:
+        # Opacity-aware ellipse bbox, rendered-set exact: a pixel survives the
+        # blend's skip rule iff alpha = op·exp(power) ≥ 1/255, i.e. its
+        # Mahalanobis² ≤ k² = 2·ln(255·op). The axis-aligned bbox of that
+        # ellipse has half-extents k·σx, k·σy with σx²=a, σy²=c (the dilated
+        # 2D-covariance marginals). min() against the reference 3σ-circle
+        # radius r intersects with the CUDA rect, so exactly the pixels the
+        # reference renders stay covered (dropped ones have alpha < 1/255 and
+        # are zeroed by the skip rule anyway) while anisotropic or
+        # low-opacity splats touch far fewer tiles; op < 1/255 culls the
+        # gaussian outright.
+        op = jax.lax.stop_gradient(opacities)
+        k = jnp.sqrt(jnp.maximum(
+            2.0 * jnp.log(jnp.maximum(255.0 * op, 1e-30)), 0.0))
+        rx = jnp.minimum(jnp.ceil(k * jnp.sqrt(jnp.maximum(a, 0.0))), r)
+        ry = jnp.minimum(jnp.ceil(k * jnp.sqrt(jnp.maximum(c, 0.0))), r)
+    else:
+        rx = ry = r
     rect_min = jnp.stack([
-        jnp.clip(((m2i[:, 0] - r) / tile_size).astype(jnp.int32), 0, tiles_x),
-        jnp.clip(((m2i[:, 1] - r) / tile_size).astype(jnp.int32), row_lo, row_hi),
+        jnp.clip(((m2i[:, 0] - rx) / tile_size).astype(jnp.int32), 0, tiles_x),
+        jnp.clip(((m2i[:, 1] - ry) / tile_size).astype(jnp.int32), row_lo, row_hi),
     ], axis=-1)
     rect_max = jnp.stack([
-        jnp.clip(((m2i[:, 0] + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, tiles_x),
-        jnp.clip(((m2i[:, 1] + r + tile_size - 1) / tile_size).astype(jnp.int32), row_lo, row_hi),
+        jnp.clip(((m2i[:, 0] + rx + tile_size - 1) / tile_size).astype(jnp.int32), 0, tiles_x),
+        jnp.clip(((m2i[:, 1] + ry + tile_size - 1) / tile_size).astype(jnp.int32), row_lo, row_hi),
     ], axis=-1)
 
     keep = det_ok & (depths > 0.2)
+    if opacities is not None:
+        keep = keep & (jax.lax.stop_gradient(opacities) >= 1.0 / 255.0)
     if valid is not None:
         keep = keep & valid
     n_tiles = jnp.where(

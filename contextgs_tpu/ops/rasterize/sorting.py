@@ -124,6 +124,9 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         rmin_y = b_rmy[order]
         rect_w = b_rw[order]
 
+    # per-gaussian rect geometry (the names below are rebound to per-slot
+    # fills further down; the bounds histogram needs the [G] views)
+    g_rmx, g_rmy, g_rw = rmin_x, rmin_y, rect_w
     incl = jnp.cumsum(counts)                                  # inclusive
     offsets = (incl - counts).astype(jnp.int32)                # exclusive
     seg_bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
@@ -195,11 +198,49 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         tile_s, src_slot, rank_s = jax.lax.sort((tile, slots, rank),
                                                 num_keys=1)
 
-    # raw per-tile boundaries, then align each segment length up to `align`
-    raw_bounds = jnp.searchsorted(
-        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    seg_len = raw_bounds[1:] - raw_bounds[:-1]                 # [n_tiles]
+    # raw per-tile segment lengths. Preferred path: one MXU matmul histogram —
+    # counts[ty,tx] = Σ_g cover_y[g,ty]·cover_x[g,tx] over the separable rect
+    # indicators (exact in bf16: 0/1 operands are exactly representable and
+    # the f32 accumulator is exact below 2^24). A searchsorted over the sorted
+    # [B] tile array costs ~8 ms at 1M instances; the matmul is ~0.3 ms at
+    # 200k gaussians and is independent of the tile sort (off the sort's
+    # critical path). Budget overflow is handled exactly: gaussians whose
+    # instances all fit contribute their full rect, the single straddling
+    # gaussian (offset < budget < incl) contributes its first
+    # `budget - offset` row-major rect cells via a tiny elementwise grid.
+    if G > 0 and G * (tiles_x + tiles_y) <= (48 << 20):
+        rect_h = (counts.astype(jnp.float32) / g_rw.astype(jnp.float32)
+                  ).astype(jnp.int32)       # exact: counts = rect_w·rect_h
+        full = incl <= budget
+        iy = jnp.arange(tiles_y, dtype=jnp.int32)
+        ix = jnp.arange(tiles_x, dtype=jnp.int32)
+        h_eff = jnp.where(full, rect_h, 0)
+        w_eff = jnp.where(counts > 0, g_rw, 0)
+        cov_y = ((iy[None, :] >= g_rmy[:, None])
+                 & (iy[None, :] < (g_rmy + h_eff)[:, None])
+                 ).astype(jnp.bfloat16)                        # [G, tiles_y]
+        cov_x = ((ix[None, :] >= g_rmx[:, None])
+                 & (ix[None, :] < (g_rmx + w_eff)[:, None])
+                 ).astype(jnp.bfloat16)                        # [G, tiles_x]
+        cnt2d = jax.lax.dot_general(
+            cov_y, cov_x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [tiles_y, tiles_x]
+        s = jnp.argmax(incl > budget)                  # straddler (if any)
+        r_part = jnp.where(overflowed,
+                           budget - (incl[s] - counts[s]), 0)
+        sx, sy, sw = g_rmx[s], g_rmy[s], g_rw[s]
+        k2d = (iy[:, None] - sy) * sw + (ix[None, :] - sx)
+        part = ((ix[None, :] >= sx) & (ix[None, :] < sx + sw)
+                & (k2d >= 0) & (k2d < r_part)).astype(jnp.int32)
+        seg_len = (cnt2d.astype(jnp.int32) + part).reshape(n_tiles)
+        raw_bounds = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(seg_len)]).astype(jnp.int32)
+    else:   # huge scene/image: covers would not fit — binary-search fallback
+        raw_bounds = jnp.searchsorted(
+            tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        seg_len = raw_bounds[1:] - raw_bounds[:-1]             # [n_tiles]
     pad_len = ((seg_len + align - 1) // align) * align
     bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(pad_len).astype(jnp.int32)])

@@ -74,25 +74,54 @@ def _tile_basis(t, tiles_x: int, tile_size: int, row_offset: int = 0):
 
 
 def _tri(c: int, strict: bool) -> jnp.ndarray:
-    """[C,C] f32 upper-triangular ones: x @ _tri gives a lane prefix sum.
+    """[C,C] bf16 upper-triangular ones: x @ _tri gives a lane prefix sum.
 
     Lane scans are the kernels' hottest VPU block: a Hillis-Steele roll scan
     costs ~3·log2(C) full [PIX,C] passes, while one [PIX,C]@[C,C] matmul rides
-    the MXU (~5 VPU-pass-equivalents at HIGHEST; Mosaic lacks HIGH) — 35% faster fwd
-    at C=128. The transmittance recurrence therefore runs in log space
-    (log1p/exp at ~1e-6 relative error; sums are bounded by log(T_EPS)≈-9 in
-    the included region, so no precision compounding)."""
+    the MXU — 35% faster fwd at C=128. The transmittance recurrence therefore
+    runs in log space (log1p/exp at ~1e-6 relative error; sums are bounded by
+    log(T_EPS)≈-9 in the included region, so no precision compounding)."""
     i = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    return ((i < j) if strict else (i <= j)).astype(jnp.float32)
+    return ((i < j) if strict else (i <= j)).astype(jnp.bfloat16)
+
+
+def _split3(x: jnp.ndarray):
+    """f32 → (hi, mid, lo) bf16 with hi+mid+lo == x to ~2^-27 relative.
+
+    Manual bf16x3 operand split: XLA's HIGHEST f32 matmul spends 6 MXU passes
+    (both operands split ×3, low-order cross terms dropped); every matmul in
+    these kernels has ONE operand that is exactly bf16-representable (the 0/1
+    triangular scan mask; the pixel basis P, whose entries are quarter-integer
+    |v| ≤ 57 ⊂ bf16), so splitting just the other operand gives the same f32
+    accuracy in 3 passes — the kernels' dominant MXU work, halved."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot3(a, b, dims, split: str):
+    """dot_general with the `split` operand ('a'|'b') decomposed bf16x3; the
+    other operand must be exactly bf16-representable. f32 accumulation."""
+    kw = dict(preferred_element_type=jnp.float32)
+    if split == "a":
+        h, m, l = _split3(a)
+        b = b.astype(jnp.bfloat16)
+        return (jax.lax.dot_general(h, b, dims, **kw)
+                + (jax.lax.dot_general(m, b, dims, **kw)
+                   + jax.lax.dot_general(l, b, dims, **kw)))
+    h, m, l = _split3(b)
+    a = a.astype(jnp.bfloat16)
+    return (jax.lax.dot_general(a, h, dims, **kw)
+            + (jax.lax.dot_general(a, m, dims, **kw)
+               + jax.lax.dot_general(a, l, dims, **kw)))
 
 
 def _scan_matmul(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    """Lane prefix sum of [PIX,C] via the MXU: x @ tri."""
-    return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    """Lane prefix sum of [PIX,C] via the MXU: x @ tri (bf16x3 passes)."""
+    return _dot3(x, tri, (((1,), (0,)), ((), ())), split="a")
 
 
 def _chunk_coef(data, cx, cy):
@@ -118,12 +147,15 @@ def _chunk_coef(data, cx, cy):
     return coef, dict(mx=mx, my=my, ca=ca, cb=cb, cc=cc, op=op)
 
 
-def _power_alpha(P, coef, op):
+def _power_alpha(P, coef, op, exact_p: bool = True):
     """power = clamp(P@coef, ≤0) on the MXU; alpha with CUDA skip rules."""
-    power = jax.lax.dot_general(
-        P, coef, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)               # [PIX,C]
+    dims = (((1,), (0,)), ((), ()))
+    if exact_p:     # tile_size ≤ 16: P is exactly bf16 → 3-pass (see _dot3)
+        power = _dot3(P, coef, dims, split="b")           # [PIX,C]
+    else:
+        power = jax.lax.dot_general(
+            P, coef, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)           # [PIX,C]
     power = jnp.minimum(power, 0.0)
     gauss = jnp.exp(power)
     raw = op * gauss
@@ -210,7 +242,8 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
             dma(slot, ci).wait()
 
         coef, row = _chunk_coef(chunk[slot], cx, cy)
-        _, _, _, alpha = _power_alpha(P, coef, row["op"])
+        _, _, _, alpha = _power_alpha(P, coef, row["op"],
+                                      exact_p=tile_size <= 16)
         one_m = 1.0 - alpha
         # log-domain transmittance on the MXU (see _tri): T before instance i
         # = t_run · exp(Σ_{j<i} log(1-α_j)). Early-termination semantics are
@@ -383,7 +416,8 @@ def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
         def compute(carry):
             t_run, pref_u = carry
             coef, row = _chunk_coef(chunk[slot], cx, cy)
-            power, _, raw, alpha0 = _power_alpha(P, coef, row["op"])
+            power, _, raw, alpha0 = _power_alpha(P, coef, row["op"],
+                                                 exact_p=tile_size <= 16)
             one_m = 1.0 - alpha0
             # log-domain transmittance on the MXU, identical to the forward
             T_i = t_run * jnp.exp(_scan_matmul(jnp.log1p(-alpha0), tri_s))
@@ -407,10 +441,14 @@ def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
 
             # per-instance gradients through the quadratic coefficients: one
             # [PIX,8]ᵀ@[PIX,C] matmul replaces six sublane reductions
-            d_coef = jax.lax.dot_general(
-                P, d_power, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # [8,C]
+            dims_pc = (((0,), (0,)), ((), ()))
+            if tile_size <= 16:          # P exactly bf16 → 3-pass (see _dot3)
+                d_coef = _dot3(P, d_power, dims_pc, split="b")
+            else:
+                d_coef = jax.lax.dot_general(
+                    P, d_power, dims_pc,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # [8,C]
             d_c0, d_c1, d_c2 = d_coef[0:1], d_coef[1:2], d_coef[2:3]
             d_c3, d_c4, d_c5 = d_coef[3:4], d_coef[4:5], d_coef[5:6]
             mx, my = row["mx"], row["my"]

@@ -225,3 +225,32 @@ def test_budget_overflow_flag(rng):
         assert bool(inst.overflowed)
     else:
         pytest.skip("synthetic scene did not overflow the budget")
+
+
+def test_tile_bounds_histogram_vs_bruteforce(rng):
+    """The matmul-histogram segment lengths (sorting.py) must equal a numpy
+    brute-force expansion — including the budget-overflow straddler, whose
+    partial rect is row-major-prefix capped exactly like the slot expansion."""
+    for n, scale_range in ((60, (0.02, 0.08)), (200, (0.3, 0.6))):
+        scene = _scene(rng, n, scale_range=scale_range)
+        proj, inst = _proj_sort_fn(32, 32)(*scene[:3])
+        rmin = np.asarray(proj.rect_min)
+        rmax = np.asarray(proj.rect_max)
+        cnt = np.asarray(proj.n_tiles)
+        depths = np.where(cnt > 0, np.asarray(proj.depths), np.inf)
+        order = np.argsort(depths, kind="stable")
+        tiles = []
+        for g in order:
+            if cnt[g] == 0:
+                continue
+            for ty in range(rmin[g, 1], rmax[g, 1]):
+                for tx in range(rmin[g, 0], rmax[g, 0]):
+                    tiles.append(ty * 2 + tx)
+        tiles = np.array(tiles[:BUDGET], dtype=np.int64)   # budget cap
+        want = np.bincount(tiles, minlength=4)
+        tile_ids = np.asarray(inst.tile_ids)
+        valid = np.asarray(inst.valid)
+        got = np.bincount(tile_ids[valid], minlength=5)[:4]
+        np.testing.assert_array_equal(got, want)
+        if len(tiles) == BUDGET and int(cnt.sum()) > BUDGET:
+            assert bool(inst.overflowed)
