@@ -185,30 +185,19 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     tile = (rmin_y + ty) * tiles_x + rmin_x + tx
     tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
 
-    # --- phase 2: sort by tile, slot index in the low bits (stable ⇒ depth
-    # order within each tile), depth rank riding as payload. Single uint32
-    # key when it fits.
-    bits_slot = max(1, (budget - 1).bit_length())
-    if (n_tiles << bits_slot) | (budget - 1) < 2 ** 32:
-        key = (tile.astype(jnp.uint32) << bits_slot) | slots.astype(jnp.uint32)
-        key_s, rank_s = jax.lax.sort((key, rank), num_keys=1)
-        tile_s = (key_s >> bits_slot).astype(jnp.int32)
-        src_slot = (key_s & ((1 << bits_slot) - 1)).astype(jnp.int32)
-    else:
-        tile_s, src_slot, rank_s = jax.lax.sort((tile, slots, rank),
-                                                num_keys=1)
-
     # raw per-tile segment lengths. Preferred path: one MXU matmul histogram —
     # counts[ty,tx] = Σ_g cover_y[g,ty]·cover_x[g,tx] over the separable rect
     # indicators (exact in bf16: 0/1 operands are exactly representable and
     # the f32 accumulator is exact below 2^24). A searchsorted over the sorted
     # [B] tile array costs ~8 ms at 1M instances; the matmul is ~0.3 ms at
-    # 200k gaussians and is independent of the tile sort (off the sort's
-    # critical path). Budget overflow is handled exactly: gaussians whose
-    # instances all fit contribute their full rect, the single straddling
-    # gaussian (offset < budget < incl) contributes its first
-    # `budget - offset` row-major rect cells via a tiny elementwise grid.
-    if G > 0 and G * (tiles_x + tiles_y) <= (48 << 20):
+    # 200k gaussians and needs nothing from the tile sort — which lets the
+    # sort itself produce the segment-ALIGNED table directly (fillers below).
+    # Budget overflow is handled exactly: gaussians whose instances all fit
+    # contribute their full rect, the single straddling gaussian
+    # (offset < budget < incl) contributes its first `budget - offset`
+    # row-major rect cells via a tiny elementwise grid.
+    use_hist = G > 0 and G * (tiles_x + tiles_y) <= (48 << 20)
+    if use_hist:
         rect_h = (counts.astype(jnp.float32) / g_rw.astype(jnp.float32)
                   ).astype(jnp.int32)       # exact: counts = rect_w·rect_h
         full = incl <= budget
@@ -233,55 +222,107 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         part = ((ix[None, :] >= sx) & (ix[None, :] < sx + sw)
                 & (k2d >= 0) & (k2d < r_part)).astype(jnp.int32)
         seg_len = (cnt2d.astype(jnp.int32) + part).reshape(n_tiles)
-        raw_bounds = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32),
-             jnp.cumsum(seg_len)]).astype(jnp.int32)
-    else:   # huge scene/image: covers would not fit — binary-search fallback
+    b_pad = padded_size(budget, n_tiles, align)
+    n_fill = n_tiles * align
+
+    if use_hist:
+        # --- phase 2, aligned-by-construction: segment lengths are known
+        # BEFORE the sort, so sorting `pad_needed(t)` filler entries per tile
+        # (key: tile t, slot past every real slot) right along with the real
+        # instances yields the segment-aligned table straight out of the sort
+        # — no searchsorted, no pad-shift fills, no [B]→[B_pad] scatter
+        # (~5 ms at 1M instances). Fillers beyond a tile's need go to the
+        # sentinel tile and land in the unused tail past bounds[-1].
+        pad_len = ((seg_len + align - 1) // align) * align
+        bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(pad_len).astype(jnp.int32)])
+        pad_needed = pad_len - seg_len                         # [n_tiles], <align
+        f_keep = (jax.lax.broadcasted_iota(jnp.int32, (n_tiles, align), 1)
+                  < pad_needed[:, None])
+        f_tile = jnp.where(
+            f_keep,
+            jax.lax.broadcasted_iota(jnp.int32, (n_tiles, align), 0),
+            n_tiles).reshape(n_fill)
+        # filler slot value = `budget` sorts after every real slot (< budget)
+        bits_slot = max(1, budget.bit_length())
+        if ((n_tiles << bits_slot) | budget) < 2 ** 32:
+            key = jnp.concatenate([
+                (tile.astype(jnp.uint32) << bits_slot)
+                | slots.astype(jnp.uint32),
+                (f_tile.astype(jnp.uint32) << bits_slot)
+                | jnp.uint32(budget)])
+            rank_ext = jnp.concatenate([rank, jnp.full((n_fill,), G,
+                                                       jnp.int32)])
+            key_s, out_rank = jax.lax.sort((key, rank_ext), num_keys=1)
+            src_sorted = (key_s & ((1 << bits_slot) - 1)).astype(jnp.int32)
+        else:
+            tile_ext = jnp.concatenate([tile, f_tile])
+            slot_ext = jnp.concatenate(
+                [slots, jnp.full((n_fill,), budget, jnp.int32)])
+            rank_ext = jnp.concatenate([rank, jnp.full((n_fill,), G,
+                                                       jnp.int32)])
+            _, src_sorted, out_rank = jax.lax.sort(
+                (tile_ext, slot_ext, rank_ext), num_keys=2)
+        out_valid = out_rank < G
+
+        # depth-order slot → aligned position: every real slot appears exactly
+        # once in src_sorted (fillers carry the sentinel `budget` and sort
+        # last within the value), so a 2-operand sort inverts it. Lazy:
+        # DCE'd unless the consumer needs it.
+        pos_sorted = jax.lax.sort(
+            (src_sorted, jnp.arange(b_pad, dtype=jnp.int32)), num_keys=1)[1]
+        perm = pos_sorted[:budget]
+        out_src = jnp.minimum(src_sorted, budget)
+    else:
+        # --- phase 2 fallback (huge scenes: the cover matrices of the
+        # histogram would not fit): sort reals only, recover bounds with a
+        # searchsorted, then scatter into aligned positions.
+        bits_slot = max(1, (budget - 1).bit_length())
+        if (n_tiles << bits_slot) | (budget - 1) < 2 ** 32:
+            key = (tile.astype(jnp.uint32) << bits_slot
+                   ) | slots.astype(jnp.uint32)
+            key_s, rank_s = jax.lax.sort((key, rank), num_keys=1)
+            tile_s = (key_s >> bits_slot).astype(jnp.int32)
+            src_slot = (key_s & ((1 << bits_slot) - 1)).astype(jnp.int32)
+        else:
+            tile_s, src_slot, rank_s = jax.lax.sort((tile, slots, rank),
+                                                    num_keys=1)
         raw_bounds = jnp.searchsorted(
             tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
         seg_len = raw_bounds[1:] - raw_bounds[:-1]             # [n_tiles]
-    pad_len = ((seg_len + align - 1) // align) * align
-    bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(pad_len).astype(jnp.int32)])
+        pad_len = ((seg_len + align - 1) // align) * align
+        bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(pad_len).astype(jnp.int32)])
+        # aligned_pos = sorted_pos + accumulated pad of earlier segments; the
+        # per-sorted-slot pad shift is a forward fill from tile boundaries
+        delta = bounds[:-1] - raw_bounds[:-1]                  # [n_tiles]
+        dd = delta - jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                      delta[:-1]])
+        shift = jnp.zeros((budget,), jnp.int32).at[raw_bounds[:-1]].add(
+            dd, mode="drop")
+        src_valid = tile_s < n_tiles
+        new_pos = jnp.where(src_valid, slots + jnp.cumsum(shift), b_pad)
 
-    b_pad = padded_size(budget, n_tiles, align)
-    # aligned_pos = sorted_pos + accumulated pad of earlier segments; the
-    # per-sorted-slot pad shift is itself a forward fill from tile boundaries
-    delta = bounds[:-1] - raw_bounds[:-1]                      # [n_tiles]
-    dd = delta - jnp.concatenate([jnp.zeros((1,), jnp.int32), delta[:-1]])
-    shift = jnp.zeros((budget,), jnp.int32).at[raw_bounds[:-1]].add(
-        dd, mode="drop")
-    src_valid = tile_s < n_tiles
-    new_pos = jnp.where(src_valid, slots + jnp.cumsum(shift), b_pad)
+        # ONE scalar scatter spreads the depth rank into the aligned table;
+        # the pack step is then a single [B_pad] row gather from the [G,·]
+        # splat rows (sentinel G hits an appended zero row).
+        out_rank = jnp.full((b_pad,), G, jnp.int32).at[new_pos].set(
+            rank_s, mode="drop")
+        out_valid = out_rank < G
 
-    # ONE scalar scatter spreads the depth rank into the aligned table; the
-    # pack step is then a single [B_pad] row gather from the [G,·] splat rows
-    # (sentinel G hits an appended zero row). Alternatives measured on v5e:
-    # 8-wide windowed scatter AND 8-wide windowed gather both lower to a
-    # serial while loop (~40x worse); a fill+1D-element-gather formulation
-    # costs ~7 ns/index vs ~4.6 ns/index for this scatter. Row gathers with a
-    # full trailing dimension are the only fast indexed form, and no
-    # repair-free row formulation exists here (raw segment starts are not
-    # 8-aligned).
-    out_rank = jnp.full((b_pad,), G, jnp.int32).at[new_pos].set(
-        rank_s, mode="drop")
-    out_valid = out_rank < G
+        # depth-order slot → aligned position, sort-based inversion. Lazy.
+        _, perm = jax.lax.sort(
+            (src_slot, jnp.where(src_valid, new_pos, b_pad)), num_keys=1)
 
-    # depth-order slot → aligned position: src_slot is a permutation of
-    # [0, budget), so invert it with a cheap 2-operand sort (a 1M scatter
-    # costs ~5 ms; the sort ~1 ms). Lazy: DCE'd unless the consumer needs it.
-    _, perm = jax.lax.sort(
-        (src_slot, jnp.where(src_valid, new_pos, b_pad)), num_keys=1)
+        # aligned src_slot table (lazy): scatter like out_rank
+        out_src = jnp.full((b_pad,), budget, jnp.int32).at[new_pos].set(
+            src_slot, mode="drop")
 
     # gaussian → depth rank (inverse of `order`), same sort-based inversion;
     # lets the backward GATHER per-gaussian gradients instead of scattering
     # them (scatters cost ~2x a gather of the same index count). Lazy.
     _, inv_order = jax.lax.sort((order, iota_g), num_keys=1)
-
-    # aligned src_slot table (lazy): scatter like out_rank
-    out_src = jnp.full((b_pad,), budget, jnp.int32).at[new_pos].set(
-        src_slot, mode="drop")
 
     # tile id per aligned slot, derived from bounds (no second scatter): the
     # unused tail past bounds[-1] lands on the sentinel n_tiles automatically
