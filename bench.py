@@ -34,7 +34,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        width, height, n_gauss, iters = 1280, 720, 200_000, 10
+        width, height, n_gauss, iters = 1280, 720, 200_000, 30
         budget, chunk = 768 * 1024, 128   # ~23% headroom over the ~624k instances
         backend = "pallas"
     else:  # CPU smoke fallback (reference backend, tiny)
@@ -77,10 +77,13 @@ def main():
 
     args = tuple(map(jnp.asarray, (means, scales, quats, colors, opac)))
     out = bench_n(*args)
-    out.block_until_ready()            # compile + warm
+    # sync via a real data fetch: under remote/tunneled backends
+    # block_until_ready can return before execution finishes, so the only
+    # trustworthy fence is pulling bytes off the device (cheap: [G,3] f32)
+    np.asarray(out)                    # compile + warm + fetch-path warm
     t0 = time.time()
     out = bench_n(*args)
-    out.block_until_ready()
+    np.asarray(out)
     dt = time.time() - t0
 
     mpix_s = iters * width * height / dt / 1e6

@@ -122,9 +122,12 @@ def _pack_blend(gauss_rows, order, inv_order, rank_aligned, tile_bounds, perm,
     contiguous, and reduce with one cumsum + two boundary row-gathers
     (`seg_bounds`).
     """
-    return blend_forward_pallas(_pack(gauss_rows, order, rank_aligned),
-                                tile_bounds, n_tiles, tiles_x, tile_size,
-                                chunk_size, interpret, row_offset)
+    out = blend_forward_pallas(_pack(gauss_rows, order, rank_aligned),
+                               tile_bounds, n_tiles, tiles_x, tile_size,
+                               chunk_size, interpret, row_offset)
+    # slice to image channels INSIDE the vjp: the backward cotangent then
+    # arrives as [n_tiles, PIX, 4] — no 4→8 channel pad, half the cot DMA
+    return out[:n_tiles, :, 0:4]
 
 
 def _pack_blend_fwd(gauss_rows, order, inv_order, rank_aligned, tile_bounds,
@@ -135,7 +138,7 @@ def _pack_blend_fwd(gauss_rows, order, inv_order, rank_aligned, tile_bounds,
                                tile_size, chunk_size, interpret, row_offset)
     res = (packed, tile_bounds, out, perm, seg_bounds, inv_order,
            gauss_rows.shape[0])
-    return out, res
+    return out[:n_tiles, :, 0:4], res
 
 
 def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
@@ -149,16 +152,20 @@ def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
     g9 = jnp.where(in_use[None, :], grads[:9], 0.0)
     # materialize the row-major view behind a barrier: without it XLA fuses
     # the transpose INTO the downstream gather/cumsum, which then run in
-    # column-major layout (~6 ms instead of a bandwidth-bound copy)
+    # column-major layout (~6 ms instead of a bandwidth-bound copy).
+    # (A 1-D flatten that pins a physically row-major table was tried and is
+    # a net loss: the forced transpose copy costs more than the faster
+    # row-major gather saves.)
     gRM = jax.lax.optimization_barrier(g9.T)                   # [B_pad, 9]
     gT = jnp.concatenate([gRM, jnp.zeros((1, 9), g9.dtype)])
     g_depth = gT[perm]                      # [B,9]; dropped slots → zero row
     cs = jnp.concatenate([jnp.zeros((1, 9), g9.dtype),
                           jnp.cumsum(g_depth, axis=0)])        # [B+1, 9]
     B = g_depth.shape[0]
-    lo = jnp.clip(seg_bounds[:-1], 0, B)
-    hi = jnp.clip(seg_bounds[1:], 0, B)
-    per_rank = cs[hi] - cs[lo]                                 # [G, 9]
+    # ONE boundary gather (rows G+1) instead of separate cs[hi]/cs[lo]: the
+    # bounds are shared endpoints, diff recovers the per-rank segment sums
+    cs_b = cs[jnp.clip(seg_bounds, 0, B)]                      # [G+1, 9]
+    per_rank = cs_b[1:] - cs_b[:-1]                            # [G, 9]
     # gather (not scatter) back to gaussian order: per-gaussian row = its
     # depth rank's segment sum; culled gaussians have empty segments → zero
     d_rows = per_rank[inv_order]
@@ -245,10 +252,7 @@ def rasterize(
         tiles = _pack_blend(gauss_rows, inst.order, inst.inv_order,
                             inst.rank_aligned, inst.tile_bounds, inst.perm,
                             inst.seg_bounds, n_tiles, tiles_x, tile_size,
-                            chunk_size, interpret, row0)
-        # keep only the 4 image channels before the tile→raster shuffle —
-        # halves the layout-copy traffic (channels 4-7 are kernel-internal)
-        tiles = tiles[:n_tiles, :, 0:4]  # drop grid-batch padding tiles
+                            chunk_size, interpret, row0)  # [n_tiles, PIX, 4]
         full = tiles.reshape(band_rows, tiles_x, tile_size, tile_size, 4)
         full = full.transpose(4, 0, 2, 1, 3).reshape(
             4, band_rows * tile_size, tiles_x * tile_size)

@@ -253,7 +253,11 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
                 | jnp.uint32(budget)])
             rank_ext = jnp.concatenate([rank, jnp.full((n_fill,), G,
                                                        jnp.int32)])
-            key_s, out_rank = jax.lax.sort((key, rank_ext), num_keys=1)
+            # unstable: real keys are unique (tile|slot) and filler ties all
+            # carry identical payloads — a stable sort would make XLA thread
+            # a third iota operand through the whole sort (~1 ms at 1.25M)
+            key_s, out_rank = jax.lax.sort((key, rank_ext), num_keys=1,
+                                           is_stable=False)
             src_sorted = (key_s & ((1 << bits_slot) - 1)).astype(jnp.int32)
         else:
             tile_ext = jnp.concatenate([tile, f_tile])
@@ -269,8 +273,11 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         # once in src_sorted (fillers carry the sentinel `budget` and sort
         # last within the value), so a 2-operand sort inverts it. Lazy:
         # DCE'd unless the consumer needs it.
+        # unstable: values 0..budget-1 are unique; ties exist only among the
+        # sentinel fillers, whose positions are sliced away below
         pos_sorted = jax.lax.sort(
-            (src_sorted, jnp.arange(b_pad, dtype=jnp.int32)), num_keys=1)[1]
+            (src_sorted, jnp.arange(b_pad, dtype=jnp.int32)), num_keys=1,
+            is_stable=False)[1]
         perm = pos_sorted[:budget]
         out_src = jnp.minimum(src_sorted, budget)
     else:
@@ -322,7 +329,7 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     # gaussian → depth rank (inverse of `order`), same sort-based inversion;
     # lets the backward GATHER per-gaussian gradients instead of scattering
     # them (scatters cost ~2x a gather of the same index count). Lazy.
-    _, inv_order = jax.lax.sort((order, iota_g), num_keys=1)
+    _, inv_order = jax.lax.sort((order, iota_g), num_keys=1, is_stable=False)
 
     # tile id per aligned slot, derived from bounds (no second scatter): the
     # unused tail past bounds[-1] lands on the sentinel n_tiles automatically

@@ -519,6 +519,12 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
                                tiles_x=tiles_x, tile_size=tile_size,
                                row_offset=row_offset, tiles_per_step=tb)
     watermarks = fwd_out[:, 0, 5].astype(jnp.int32)
+    # the cotangent may arrive with only the 4 image channels (rgb + T) and
+    # only n_tiles rows — padded-tile rows are never read (watermark 0)
+    cotc = cotangent.shape[-1]
+    if cotangent.shape[0] < n_pad:
+        cotangent = jnp.pad(
+            cotangent, ((0, n_pad - cotangent.shape[0]), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
@@ -526,7 +532,7 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((tb, PIX, OUTC), lambda i, b, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, PIX, OUTC), lambda i, b, w: (i, 0, 0),
+            pl.BlockSpec((tb, PIX, cotc), lambda i, b, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
