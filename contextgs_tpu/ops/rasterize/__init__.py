@@ -56,7 +56,7 @@ def _written_mask(out, tile_bounds, n_tiles, chunk_size, b_pad):
     dd = valid_end - jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), valid_end[:-1]])
     heads = jnp.zeros((b_pad,), jnp.int32).at[tile_bounds[:n_tiles]].add(
-        dd, mode="drop")
+        dd, mode="drop", indices_are_sorted=True)
     return jnp.arange(b_pad, dtype=jnp.int32) < jnp.cumsum(heads)
 
 

@@ -145,7 +145,7 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         budget are dropped (their slots don't exist)."""
         d = vals - jnp.concatenate([jnp.zeros((1,), vals.dtype), vals[:-1]])
         heads = jnp.zeros((budget,), vals.dtype).at[offsets].add(
-            d, mode="drop")
+            d, mode="drop", indices_are_sorted=True)
         return jnp.cumsum(heads)
 
     # three per-slot fills (depth rank; rect geometry; segment offset),
@@ -307,7 +307,7 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         dd = delta - jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                       delta[:-1]])
         shift = jnp.zeros((budget,), jnp.int32).at[raw_bounds[:-1]].add(
-            dd, mode="drop")
+            dd, mode="drop", indices_are_sorted=True)
         src_valid = tile_s < n_tiles
         new_pos = jnp.where(src_valid, slots + jnp.cumsum(shift), b_pad)
 
@@ -334,7 +334,7 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     # tile id per aligned slot, derived from bounds (no second scatter): the
     # unused tail past bounds[-1] lands on the sentinel n_tiles automatically
     tile_heads = jnp.zeros((b_pad,), jnp.int32).at[bounds[1:]].add(
-        1, mode="drop")
+        1, mode="drop", indices_are_sorted=True)
     out_tile = jnp.cumsum(tile_heads)
     out_tile = jnp.where(out_valid, out_tile, n_tiles).astype(jnp.int32)
 
