@@ -68,6 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip_codec", action="store_true")
     p.add_argument("--skip_render", action="store_true")
     p.add_argument("--save_images", action="store_true")
+    p.add_argument("--no_tensorboard", action="store_true",
+                   help="disable TensorBoard event files under <model_path>/tb")
     return p
 
 
@@ -132,7 +134,24 @@ def main(argv=None):
              len(scene.train_cameras), len(scene.test_cameras),
              len(scene.points))
 
-    ts = train(cfg, scene, budget=args.budget)
+    # TensorBoard scalars every log_every iters (ref train.py:281-293 logs
+    # loss/psnr/points to tb_writer when tensorboard is importable; ours is
+    # dependency-free, utils/tboard.py)
+    tb = None
+    if cfg.model_path and not args.no_tensorboard:
+        from contextgs_tpu.utils.tboard import SummaryWriter
+        tb = SummaryWriter(os.path.join(cfg.model_path, "tb"))
+
+    def tb_callback(it, ts_, metrics):
+        if tb is not None and it % 100 == 0:
+            tb.add_scalar("train_loss_patches/total_loss",
+                          float(metrics.loss), it)
+            tb.add_scalar("train/psnr", float(metrics.psnr), it)
+            tb.add_scalar("train/bit_per_param",
+                          float(metrics.bit_per_param), it)
+            tb.add_scalar("total_points", st.n_alive(ts_.model), it)
+
+    ts = train(cfg, scene, budget=args.budget, callback=tb_callback)
 
     if args.skip_codec:
         return 0
@@ -165,6 +184,15 @@ def main(argv=None):
     metrics = ev.evaluate_images(renders, gts)
     log.info("test: PSNR %.3f SSIM %.4f FPS %.1f", metrics["PSNR"],
              metrics["SSIM"], fps)
+    if tb is not None:
+        tb.add_scalar("test/PSNR", metrics["PSNR"], cfg.opt.iterations)
+        tb.add_scalar("test/SSIM", metrics["SSIM"], cfg.opt.iterations)
+        # first decoded test render + GT, [3,H,W] → [H,W,3]
+        tb.add_image("test/render", np.transpose(renders[0], (1, 2, 0)),
+                     cfg.opt.iterations)
+        tb.add_image("test/ground_truth", np.transpose(gts[0], (1, 2, 0)),
+                     cfg.opt.iterations)
+        tb.close()
     ev.write_results(cfg.model_path or ".", "ours", metrics, bits, fps)
     return 0
 
