@@ -34,7 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from contextgs_tpu.config import TrainConfig
@@ -201,7 +201,7 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, width: int,
             grad_fn, mesh=mesh,
             in_specs=(pspec, P(AXIS), P(), P(), cam_spec, P(), P(), P()),
             out_specs=((P(), (P(), P())), pspec),
-            check_rep=False)
+            check_vma=False)
         (loss, (l1, bpp)), grads = smapped(
             params, buffers.alive, buffers.bound_min, buffers.bound_max,
             cam, gt_pad, bg, key)
