@@ -51,7 +51,7 @@ def render(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
            *, phase: str, training: bool, maps: LevelMaps | None = None,
            visible_mask: jnp.ndarray | None = None,
            screen_dummy: jnp.ndarray | None = None,
-           budget: int = 1 << 18) -> RenderOutput:
+           budget: int = 1 << 18, scale_modifier=1.0) -> RenderOutput:
     if visible_mask is None:
         visible_mask = prefilter_voxel(params, buffers, cam, width, height)
 
@@ -67,7 +67,8 @@ def render(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
         width=width, height=height, bg=bg,
         tile_size=pipe.tile_size, budget=budget, chunk_size=pipe.chunk_size,
         backend=pipe.backend if pipe.backend != "auto" else "pallas",
-        valid=ng.gauss_valid, screen_dummy=screen_dummy)
+        valid=ng.gauss_valid, screen_dummy=screen_dummy,
+        scale_modifier=scale_modifier)
 
     return RenderOutput(image=out.image, final_t=out.final_t, gaussians=ng,
                         radii=out.radii, visibility=out.visibility, aux=aux,

@@ -47,8 +47,8 @@ OUTC = 8           # output channels per pixel: rgb, T, logT, watermark, pad
 ET_MIN_CHUNKS = 2  # segments at most this long skip the early-term check
 
 
-def _tile_basis(t, tiles_x: int, tile_size: int, row_offset: int = 0):
-    """Quadratic pixel basis for MXU power evaluation.
+def _pixel_basis(tile_size: int):
+    """Quadratic pixel basis for MXU power evaluation — TILE-INDEPENDENT.
 
     The per-(pixel,instance) gaussian exponent is a quadratic form in pixel
     coordinates, so for a whole tile it factors as one [PIX,8]·[8,C] matmul:
@@ -56,21 +56,27 @@ def _tile_basis(t, tiles_x: int, tile_size: int, row_offset: int = 0):
     TILE-CENTERED coordinates (px' = px - cx). Centering keeps every term
     O(conic·radius²) ~ O(10) so f32 matmul accumulates no worse error than
     the CUDA reference's dx-first evaluation; in global coordinates the
-    px²-scale terms (~1e5-1e6) would swamp the O(1) exponent.
-
-    Returns (P [PIX,8], cx, cy scalars).
+    px²-scale terms (~1e5-1e6) would swamp the O(1) exponent. Centering also
+    makes P identical for every tile (px' = p%ts − (ts−1)/2), so it is built
+    ONCE per kernel invocation and shared by all tiles of all grid steps.
     """
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    half = (tile_size - 1) * 0.5
+    px = (p % tile_size).astype(jnp.float32) - half
+    py = (p // tile_size).astype(jnp.float32) - half
+    one = jnp.ones((PIX, 1), jnp.float32)
+    zero = jnp.zeros((PIX, 2), jnp.float32)
+    return jnp.concatenate([one, px, py, px * px, py * py, px * py, zero],
+                           axis=1)
+
+
+def _tile_center(t, tiles_x: int, tile_size: int, row_offset: int = 0):
+    """(cx, cy) pixel-space center scalars of tile `t` (band-local rows)."""
     tile_y = t // tiles_x + row_offset
     tile_x = t - (t // tiles_x) * tiles_x
     cx = (tile_x * tile_size + (tile_size - 1) * 0.5).astype(jnp.float32)
     cy = (tile_y * tile_size + (tile_size - 1) * 0.5).astype(jnp.float32)
-    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = (tile_x * tile_size + p % tile_size).astype(jnp.float32) - cx
-    py = (tile_y * tile_size + p // tile_size).astype(jnp.float32) - cy
-    one = jnp.ones((PIX, 1), jnp.float32)
-    zero = jnp.zeros((PIX, 2), jnp.float32)
-    P = jnp.concatenate([one, px, py, px * px, py * py, px * py, zero], axis=1)
-    return P, cx, cy
+    return cx, cy
 
 
 def _tri(c: int, strict: bool) -> jnp.ndarray:
@@ -195,17 +201,18 @@ def _fwd_kernel(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf, *,
     _first_chunk_prefetch(bounds_ref, packed_hbm, pf, sem_pf, step, C,
                           tiles_per_step)
     tri = _tri(C, strict=True)
+    P = _pixel_basis(tile_size)
     for j in range(tiles_per_step):
         t = step * tiles_per_step + j
         _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem,
-                      sem_pf, t, j, C, tiles_x, tile_size, row_offset, tri)
+                      sem_pf, t, j, C, tiles_x, tile_size, row_offset, tri, P)
 
 
 def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
-                  t, j, C, tiles_x, tile_size, row_offset, tri):
+                  t, j, C, tiles_x, tile_size, row_offset, tri, P):
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
-    P, cx, cy = _tile_basis(t, tiles_x, tile_size, row_offset)
+    cx, cy = _tile_center(t, tiles_x, tile_size, row_offset)
     nchunks = (end - start) // C       # segments are exact multiples of C
 
     def dma(slot, ci):
@@ -268,14 +275,14 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
     rgb0 = jnp.zeros((PIX, 3), jnp.float32)
 
     def epilogue(ci_end, t_run, rgb):
-        out_ref[j, :, 0:3] = rgb
-        out_ref[j, :, 3] = t_run[:, 0]
-        out_ref[j, :, 4] = jnp.log(jnp.maximum(t_run, 1e-30))[:, 0]
         # channel 5: chunks processed (watermark) — the backward runs exactly
         # this many chunks (fori, no per-chunk sync) and the XLA side masks
-        # the never-written gradient region past it
-        out_ref[j, :, 5] = jnp.full((PIX,), 1.0, jnp.float32) * ci_end
-        out_ref[j, :, 6:OUTC] = jnp.zeros((PIX, OUTC - 6), jnp.float32)
+        # the never-written gradient region past it. One fused store.
+        logt = jnp.log(jnp.maximum(t_run, 1e-30))
+        wm = jnp.broadcast_to(ci_end.astype(jnp.float32), (PIX, 1))
+        out_ref[j] = jnp.concatenate(
+            [rgb, t_run, logt, wm, jnp.zeros((PIX, OUTC - 6), jnp.float32)],
+            axis=1)
 
     # Short segments (the common case: segments average 1-2 chunks) run a
     # fori_loop with no early-termination check — the check's vector→scalar
@@ -361,18 +368,19 @@ def _bwd_kernel(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                           tiles_per_step)
     tri_s = _tri(C, strict=True)
     tri_i = _tri(C, strict=False)
+    P = _pixel_basis(tile_size)
     for j in range(tiles_per_step):
         t = step * tiles_per_step + j
         _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref,
                       grad_hbm, chunk, gchunk, pf, sem_in, sem_out, sem_pf,
-                      t, j, C, tiles_x, tile_size, row_offset, tri_s, tri_i)
+                      t, j, C, tiles_x, tile_size, row_offset, tri_s, tri_i, P)
 
 
 def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                   chunk, gchunk, pf, sem_in, sem_out, sem_pf, t, j, C,
-                  tiles_x, tile_size, row_offset, tri_s, tri_i):
+                  tiles_x, tile_size, row_offset, tri_s, tri_i, P):
     start = bounds_ref[t]
-    P, cx, cy = _tile_basis(t, tiles_x, tile_size, row_offset)
+    cx, cy = _tile_center(t, tiles_x, tile_size, row_offset)
 
     d_rgb = cot_ref[j, :, 0:3]                       # [PIX,3] dL/d accum rgb
     g_t = cot_ref[j, :, 3:4]                         # [PIX,1] dL/dT_final

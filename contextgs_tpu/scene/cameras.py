@@ -88,3 +88,45 @@ def make_camera(uid: int, R: np.ndarray, T: np.ndarray, fov_x: float, fov_y: flo
                 **kw) -> Camera:
     return Camera(uid=uid, colmap_id=uid, R=R, T=T, fov_x=fov_x, fov_y=fov_y,
                   image=image, width=width, height=height, **kw)
+
+
+@dataclass
+class MiniCam:
+    """Pose-only camera built from pre-composed transforms (live viewer).
+
+    Behavioral spec: /root/reference/scene/cameras.py:59-70 — the GUI client
+    ships already-transposed `world_view` and `full_proj` matrices, so unlike
+    `Camera` nothing is recomputed here except the camera center.
+    """
+    width: int
+    height: int
+    fov_x: float
+    fov_y: float
+    znear: float
+    zfar: float
+    world_view: np.ndarray         # [4,4] transposed W2V (row-vector conv.)
+    full_proj: np.ndarray          # [4,4] transposed world→clip
+    camera_center: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.world_view = np.asarray(self.world_view, np.float32)
+        self.full_proj = np.asarray(self.full_proj, np.float32)
+        self.camera_center = np.linalg.inv(
+            self.world_view)[3, :3].astype(np.float32)
+
+    @property
+    def tanfovx(self) -> float:
+        return math.tan(self.fov_x * 0.5)
+
+    @property
+    def tanfovy(self) -> float:
+        return math.tan(self.fov_y * 0.5)
+
+    def as_device_dict(self) -> dict:
+        return dict(
+            world_view=self.world_view,
+            full_proj=self.full_proj,
+            camera_center=self.camera_center,
+            tanfovx=np.float32(self.tanfovx),
+            tanfovy=np.float32(self.tanfovy),
+        )

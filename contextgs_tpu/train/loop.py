@@ -260,6 +260,24 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
                     pickle.dump(dict(iteration=it, voxel_size=ts.voxel_size,
                                      level_scales=ts.level_scales,
                                      spatial_lr_scale=ts.spatial_lr_scale), f)
+            if cfg.model_path and it in cfg.save_iterations:
+                # model-snapshot channel (ref scene/__init__.py:98-101
+                # scene.save → point_cloud/iteration_N/{point_cloud.ply,
+                # checkpoint.pth}), distinct from the training checkpoint
+                from contextgs_tpu.scene.snapshot import (save_model_ply,
+                                                          save_networks)
+                pc_dir = os.path.join(cfg.model_path, "point_cloud",
+                                      f"iteration_{it}")
+                os.makedirs(pc_dir, exist_ok=True)
+                save_model_ply(os.path.join(pc_dir, "point_cloud.ply"),
+                               ts.model.params, ts.model.buffers)
+                save_networks(
+                    os.path.join(pc_dir, "checkpoint.pth"), ts.model.params,
+                    extra=dict(
+                        bound_min=np.asarray(ts.model.buffers.bound_min),
+                        bound_max=np.asarray(ts.model.buffers.bound_max),
+                        level_scales=ts.level_scales,
+                        voxel_size=ts.voxel_size, iteration=it))
 
     log.info("training done in %.1fs", time.time() - t_start)
     return ts

@@ -70,6 +70,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_images", action="store_true")
     p.add_argument("--no_tensorboard", action="store_true",
                    help="disable TensorBoard event files under <model_path>/tb")
+    # live SIBR remote-viewer server (ref train.py:592-593 --ip/--port; the
+    # reference leaves network_gui.init commented out, here --gui enables it)
+    p.add_argument("--ip", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=6009)
+    p.add_argument("--gui", action="store_true",
+                   help="serve live renders to a SIBR remote viewer")
+    p.add_argument("--warmup", action="store_true",
+                   help="after training, reboot a second run initialized from "
+                        "the saved PLY snapshot (ref train.py:669-672)")
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="trace NaNs in jitted computations (jax_debug_nans; "
+                        "ref train.py:600,665 autograd anomaly mode)")
     return p
 
 
@@ -142,7 +154,43 @@ def main(argv=None):
         from contextgs_tpu.utils.tboard import SummaryWriter
         tb = SummaryWriter(os.path.join(cfg.model_path, "tb"))
 
+    # live viewer: one frame per poll whenever a SIBR client is connected
+    # (ref train.py:127-140; protocol in contextgs_tpu/utils/viewer.py)
+    viewer = None
+    if args.gui:
+        from contextgs_tpu.utils.viewer import ViewerServer
+        viewer = ViewerServer(args.ip, args.port)
+        log.info("viewer listening on %s:%d", viewer.host, viewer.port)
+    bg_host = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
+                          else [0.0, 0.0, 0.0], jnp.float32)
+    viewer_fns: dict = {}
+
+    def viewer_render(ts_):
+        from contextgs_tpu.models.renderer import render as model_render
+
+        def render_rgb(mc, scaling_mod):
+            key = (mc.width, mc.height)
+            if key not in viewer_fns:
+                w, h = key
+
+                def fn(params, buffers, cam, bg, k, smod):
+                    out = model_render(params, buffers, cfg.model, cfg.opt,
+                                       cfg.pipe, cam, w, h, bg, k,
+                                       phase="plain", training=False,
+                                       budget=args.budget,
+                                       scale_modifier=smod)
+                    return jnp.clip(out.image, 0.0, 1.0).transpose(1, 2, 0)
+                viewer_fns[key] = jax.jit(fn)
+            cam = {k: jnp.asarray(v) for k, v in mc.as_device_dict().items()}
+            return viewer_fns[key](ts_.model.params, ts_.model.buffers, cam,
+                                   bg_host, jax.random.PRNGKey(0),
+                                   jnp.float32(scaling_mod))
+        return render_rgb
+
     def tb_callback(it, ts_, metrics):
+        if viewer is not None:
+            viewer.poll(viewer_render(ts_), cfg.source_path, it,
+                        cfg.opt.iterations)
         if tb is not None and it % 100 == 0:
             tb.add_scalar("train_loss_patches/total_loss",
                           float(metrics.loss), it)
@@ -151,7 +199,24 @@ def main(argv=None):
                           float(metrics.bit_per_param), it)
             tb.add_scalar("total_points", st.n_alive(ts_.model), it)
 
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
     ts = train(cfg, scene, budget=args.budget, callback=tb_callback)
+    if args.warmup:
+        # reboot from the just-saved PLY snapshot: its anchors become the
+        # init point cloud of a fresh run (ref train.py:669-672)
+        log.info("warmup finished — rebooting from last PLY snapshot")
+        from contextgs_tpu.scene.ply_io import read_ply
+        ply_path = os.path.join(cfg.model_path, "point_cloud",
+                                f"iteration_{cfg.opt.iterations}",
+                                "point_cloud.ply")
+        v = read_ply(ply_path)
+        scene = dataclasses.replace(
+            scene, points=np.stack([v["x"], v["y"], v["z"]], axis=1))
+        ts = train(cfg, scene, budget=args.budget, callback=tb_callback)
+    if viewer is not None:
+        viewer.close()
 
     if args.skip_codec:
         return 0
