@@ -28,7 +28,7 @@ from contextgs_tpu.models.levels import find_divide_scale
 from contextgs_tpu.models.state import Buffers, Params, SceneModel
 from contextgs_tpu.scene.dataset_readers import SceneInfo
 from contextgs_tpu.train.optim import AdamState, init_adam
-from contextgs_tpu.train.step import make_train_step
+from contextgs_tpu.train.step import make_eval_render, make_train_step
 from contextgs_tpu.utils.checkpoint import save_pytree
 
 log = logging.getLogger("contextgs_tpu")
@@ -164,6 +164,7 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
     width, height = cams[0].width, cams[0].height
 
     step_fns: dict = {}
+    eval_fns: dict = {}
 
     def get_step(phase: str):
         lk = (phase, model.buffers.alive.shape[0])
@@ -238,6 +239,28 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
 
         if callback is not None:
             callback(it, ts, metrics)
+        if it in cfg.test_iterations and scene.test_cameras:
+            # mid-training held-out evaluation (ref train.py:281-344
+            # training_report renders the test split at test_iterations);
+            # STE-quantized eval render, same-resolution cameras only
+            ek = (phase, tuple(ts.level_scales or ()))
+            if ek not in eval_fns:
+                eval_fns[ek] = make_eval_render(
+                    cfg, width, height, budget, phase,
+                    tuple(ts.level_scales or ()), ts.voxel_size)
+            key, k_e = jax.random.split(key)
+            psnrs = []
+            from contextgs_tpu.ops.ssim import psnr as psnr_fn
+            for c in scene.test_cameras:
+                if (c.width, c.height) != (width, height):
+                    continue
+                img = eval_fns[ek](model.params, model.buffers,
+                                   c.as_device_dict(), bg, k_e)
+                gt = jnp.asarray(np.transpose(c.image, (2, 0, 1)))
+                psnrs.append(float(psnr_fn(img, gt)))
+            if psnrs:
+                log.info("iter %d test [%s]: PSNR %.3f over %d views",
+                         it, phase, float(np.mean(psnrs)), len(psnrs))
         if it % cfg.log_every == 0:
             log.info("iter %d [%s]: loss=%.5f psnr=%.2f bpp=%.4f anchors=%d",
                      it, phase, float(metrics.loss), float(metrics.psnr),

@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=6009)
     p.add_argument("--gui", action="store_true",
                    help="serve live renders to a SIBR remote viewer")
+    p.add_argument("--test_iterations", nargs="+", type=int, default=None,
+                   help="iterations at which to evaluate the test split "
+                        "mid-training (default: final iteration)")
     p.add_argument("--warmup", action="store_true",
                    help="after training, reboot a second run initialized from "
                         "the saved PLY snapshot (ref train.py:669-672)")
@@ -115,7 +118,9 @@ def config_from_args(args) -> TrainConfig:
                        source_path=os.path.abspath(args.source_path),
                        model_path=args.model_path, images=args.images,
                        seed=args.seed, start_checkpoint=args.start_checkpoint,
-                       save_iterations=(args.iterations,))
+                       save_iterations=(args.iterations,),
+                       test_iterations=tuple(args.test_iterations
+                                             or (args.iterations,)))
 
 
 def setup_logging(model_path: str):
