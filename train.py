@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup", action="store_true",
                    help="after training, reboot a second run initialized from "
                         "the saved PLY snapshot (ref train.py:669-672)")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler device trace for N steps "
+                        "(written to <model_path>/profile; view in "
+                        "TensorBoard or Perfetto)")
     p.add_argument("--detect_anomaly", action="store_true",
                    help="trace NaNs in jitted computations (jax_debug_nans; "
                         "ref train.py:600,665 autograd anomaly mode)")
@@ -192,7 +196,21 @@ def main(argv=None):
                                    jnp.float32(scaling_mod))
         return render_rgb
 
+    # device-trace capture over a window of warm steps (§5.1: the reference
+    # only has manual cuda.synchronize wall-clocks; this is the TPU-native
+    # profiler integration)
+    prof_start = 20 if cfg.opt.iterations > 25 else 1
+
     def tb_callback(it, ts_, metrics):
+        if args.profile_steps and cfg.model_path:
+            if it == prof_start:
+                jax.profiler.start_trace(
+                    os.path.join(cfg.model_path, "profile"))
+            elif it == prof_start + args.profile_steps:
+                jax.block_until_ready(metrics.loss)
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s",
+                         os.path.join(cfg.model_path, "profile"))
         if viewer is not None:
             viewer.poll(viewer_render(ts_), cfg.source_path, it,
                         cfg.opt.iterations)
