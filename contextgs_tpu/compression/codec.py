@@ -63,12 +63,17 @@ def _bucket(n: int) -> int:
 # symbols centred at round(μ/Q) — its own predicted mean — with W chosen per
 # stream-chunk as the smallest power of two covering the residuals |s−μ/Q|
 # (min 64, capped at MAX_WINDOW and recorded in the metadata). The window base
-# is recomputed identically by the decoder from the same μ; values beyond the
-# capped window saturate to its edge (for a trained model σ ≪ W·Q/2, so
-# neither rate nor distortion is affected — the gaussian mass outside is ~0).
+# is recomputed identically by the decoder from the same μ. Residuals past the
+# capped window are NOT saturated (the reference never saturates — its tables
+# span the true min/max, encodings.py:91-97): a window-EDGE symbol acts as an
+# escape code whose true residual follows in a raw int32 side stream (length
+# recorded per chunk). Edge bins carry the full gaussian tail mass, so escapes
+# are cheap to signal and exact to reconstruct.
 MIN_WINDOW = 64
 MAX_WINDOW = 2048
-MAX_SYMBOL_RANGE = 1 << 12   # secondary guard for the hyper stream tables
+MAX_SYMBOL_RANGE = 1 << 16   # guard for the per-channel hyper tables (shared
+                             # tables grow with the data range; beyond ±32768
+                             # steps the latent has diverged, not drifted)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -107,21 +112,31 @@ def _window_base(mean: np.ndarray, q: np.ndarray, w: int) -> np.ndarray:
 
 def _windowed_cdf_rows(mean: np.ndarray, scale: np.ndarray, q: np.ndarray,
                        base: np.ndarray, w: int) -> np.ndarray:
-    """Float64 CDF rows over each element's own symbol window [base, base+W)."""
+    """Float64 CDF rows over each element's own symbol window [base, base+W).
+
+    The first/last bins absorb the full gaussian tail mass (CDF pinned to 0/1
+    at the window boundaries): edge symbols double as escape codes, so they
+    must stay cheap even when the model puts ~no mass at the window edge."""
     offs = (np.arange(w + 1, dtype=np.float64) - 0.5)[None, :]
     edges = (base[:, None] + offs) * q[:, None].astype(np.float64)
     z = (edges - mean[:, None]) / np.maximum(scale, 1e-9)[:, None]
     c = ndtr(z)
-    c = (c - c[:, :1]) / np.maximum(c[:, -1:] - c[:, :1], 1e-12)
+    c[:, 0] = 0.0
+    c[:, -1] = 1.0
     return np.clip(c, 0.0, 1.0)
 
 
 def _code_stream(x, mean, scale, q):
-    """Encode one flat stream → (bytes, window, dequantized). Symbols are
-    STE-clamped (ref encodings.py:203-216) then clipped into the per-element
-    window; the chunk's window width adapts to the residual spread."""
+    """Encode one flat stream → (bytes, window, escape bytes, dequantized).
+
+    Symbols are STE-clamped (ref encodings.py:203-216); the chunk's window
+    width adapts to the residual spread up to MAX_WINDOW. Residuals that still
+    fall outside code the nearest window EDGE as an escape and append their
+    true relative symbol to a raw int32 side stream — encode∘decode is exactly
+    lossless with no saturation (matching the reference, whose tables always
+    span the true min/max)."""
     if x.size == 0:
-        return b"", MIN_WINDOW, x.astype(np.float32)
+        return b"", MIN_WINDOW, b"", x.astype(np.float32)
     x = np.clip(x, -CLAMP_STEPS * q, CLAMP_STEPS * q)
     s = np.round(x.astype(np.float64) / q).astype(np.int64)
     mu_sym = np.round(mean.astype(np.float64) / q.astype(np.float64)).astype(np.int64)
@@ -130,21 +145,32 @@ def _code_stream(x, mean, scale, q):
     while w < 2 * spread + 2 and w < MAX_WINDOW:
         w *= 2
     base = _window_base(mean, q, w)
-    win = np.clip(s - base, 0, w - 1).astype(np.int32)
-    deq = ((base + win).astype(np.float32) * q.astype(np.float32))
+    rel = s - base                                       # true relative symbol
+    win = np.clip(rel, 0, w - 1).astype(np.int32)
+    # edge symbols always carry an escape payload (even when the true value
+    # happens to BE the edge) so the decoder needs no extra signalling
+    esc = (win == 0) | (win == w - 1)
+    side = rel[esc].astype(np.int32).tobytes()
+    deq = ((base + rel).astype(np.float32) * q.astype(np.float32))
     rows = coder.quantize_cdf(_windowed_cdf_rows(mean, scale, q, base, w))
     data = coder.encode(rows, win)
-    return data, w, deq
+    return data, w, side, deq
 
 
-def _decode_stream(data, mean, scale, q, w: int):
+def _decode_stream(data, side, mean, scale, q, w: int):
     n = mean.shape[0]
     if n == 0:
         return np.zeros(0, np.float32)
     base = _window_base(mean, q, w)
     rows = coder.quantize_cdf(_windowed_cdf_rows(mean, scale, q, base, w))
     win = coder.decode(rows, data).astype(np.int64)
-    return (base + win).astype(np.float32) * q.astype(np.float32)
+    rel = win
+    esc = (win == 0) | (win == w - 1)
+    vals = np.frombuffer(side, dtype="<i4").astype(np.int64)
+    assert vals.size == int(esc.sum()), \
+        f"escape side stream mismatch: {vals.size} vs {int(esc.sum())}"
+    rel[esc] = vals
+    return (base + rel).astype(np.float32) * q.astype(np.float32)
 
 
 def _ep_host(ep, idx):
@@ -265,24 +291,25 @@ def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
             qs = np.repeat(eph["q_scaling"][sl], 6, axis=1).reshape(-1)
             qo = np.repeat(eph["q_offsets"][sl], 3 * cfg.n_offsets,
                            axis=1).reshape(-1)
-            d_f, w_f, deq_f = _code_stream(
+            d_f, w_f, e_f, deq_f = _code_stream(
                 feat_np[rows].reshape(-1), eph["mean_feat"][sl].reshape(-1),
                 eph["scale_feat"][sl].reshape(-1), qf)
-            d_s, w_s, deq_s = _code_stream(
+            d_s, w_s, e_s, deq_s = _code_stream(
                 scaling_np[rows].reshape(-1),
                 eph["mean_scaling"][sl].reshape(-1),
                 eph["scale_scaling"][sl].reshape(-1), qs)
             m3 = np.repeat(masks[rows], 3, axis=1).reshape(-1).astype(bool)
-            d_o, w_o, deq_o = _code_stream(
+            d_o, w_o, e_o, deq_o = _code_stream(
                 offsets_np[rows].reshape(-1)[m3],
                 eph["mean_offsets"][sl].reshape(-1)[m3],
                 eph["scale_offsets"][sl].reshape(-1)[m3], qo[m3])
-            streams["feat"].append(d_f)
-            streams["scaling"].append(d_s)
-            streams["offsets"].append(d_o)
-            chunks.append(dict(n=nn, feat=(len(d_f), w_f),
-                               scaling=(len(d_s), w_s),
-                               offsets=(len(d_o), w_o)))
+            # chunk layout in the stream file: [range-coded bytes][escape i32s]
+            streams["feat"].append(d_f + e_f)
+            streams["scaling"].append(d_s + e_s)
+            streams["offsets"].append(d_o + e_o)
+            chunks.append(dict(n=nn, feat=(len(d_f), w_f, len(e_f)),
+                               scaling=(len(d_s), w_s, len(e_s)),
+                               offsets=(len(d_o), w_o, len(e_o))))
             feat_deq_level[sl] = deq_f.reshape(nn, cfg.feat_dim)
             scaling_deq_level[sl] = deq_s.reshape(nn, 6)
             off_full = np.zeros(nn * 3 * cfg.n_offsets, np.float32)
@@ -408,29 +435,30 @@ def decode_scene(out_dir: str, cfg: ModelConfig, mlps_like=None,
             qs = np.repeat(eph["q_scaling"][sl], 6, axis=1).reshape(-1)
             qo = np.repeat(eph["q_offsets"][sl], 3 * cfg.n_offsets,
                            axis=1).reshape(-1)
-            ln, w = ch["feat"]
+            def take(name):
+                ln, w, ls = ch[name]
+                p = pos[name]
+                blob = data[(name, li)]
+                pos[name] = p + ln + ls
+                return blob[p:p + ln], blob[p + ln:p + ln + ls], w
+
+            d, e, w = take("feat")
             feat_out[rows] = _decode_stream(
-                data[("feat", li)][pos["feat"]:pos["feat"] + ln],
-                eph["mean_feat"][sl].reshape(-1),
+                d, e, eph["mean_feat"][sl].reshape(-1),
                 eph["scale_feat"][sl].reshape(-1), qf, w
             ).reshape(ch["n"], cfg.feat_dim)
-            pos["feat"] += ln
-            ln, w = ch["scaling"]
+            d, e, w = take("scaling")
             scaling_out[rows] = _decode_stream(
-                data[("scaling", li)][pos["scaling"]:pos["scaling"] + ln],
-                eph["mean_scaling"][sl].reshape(-1),
+                d, e, eph["mean_scaling"][sl].reshape(-1),
                 eph["scale_scaling"][sl].reshape(-1), qs, w
             ).reshape(ch["n"], 6)
-            pos["scaling"] += ln
             m3 = np.repeat(masks[rows], 3, axis=1).reshape(-1).astype(bool)
-            ln, w = ch["offsets"]
+            d, e, w = take("offsets")
             off = np.zeros(ch["n"] * 3 * cfg.n_offsets, np.float32)
             off[m3] = _decode_stream(
-                data[("offsets", li)][pos["offsets"]:pos["offsets"] + ln],
-                eph["mean_offsets"][sl].reshape(-1)[m3],
+                d, e, eph["mean_offsets"][sl].reshape(-1)[m3],
                 eph["scale_offsets"][sl].reshape(-1)[m3], qo[m3], w)
             offsets_out[rows] = off.reshape(ch["n"], -1)
-            pos["offsets"] += ln
         for name in ("feat", "scaling", "offsets"):
             assert pos[name] == len(data[(name, li)]), \
                 f"{name}{li} stream not fully consumed"

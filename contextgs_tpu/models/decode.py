@@ -23,7 +23,8 @@ from contextgs_tpu.models import state as st
 from contextgs_tpu.models.context import (ContextOutput, RateSummary,
                                           estimate_rate, multi_scale_generate)
 from contextgs_tpu.models.levels import LevelMaps
-from contextgs_tpu.models.mlps import apply_color, apply_cov, apply_opacity
+from contextgs_tpu.models.mlps import (apply_color, apply_cov,
+                                       apply_feature_bank, apply_opacity)
 from contextgs_tpu.models.quant import uniform_noise_quant
 
 
@@ -64,6 +65,22 @@ def decode_neural_gaussians(
     ob_view = anchor - camera_center[None]
     ob_dist = jnp.linalg.norm(ob_view, axis=1, keepdims=True)
     ob_view = ob_view / jnp.maximum(ob_dist, 1e-12)
+
+    if cfg.use_feat_bank and params.mlps.feature_bank is not None:
+        # view-weighted multi-resolution feature blend. The reference only
+        # *initializes* this MLP and never calls it in its renderer (ref
+        # scene/gaussian_model.py:143-149, flag at arguments/__init__.py:57);
+        # the applied semantics here are the upstream Scaffold-GS blend it was
+        # built for: softmax weights over [coarse ::4, mid ::2, full] channel
+        # subsamplings, each tiled back to full width.
+        bank_w = apply_feature_bank(
+            params.mlps, jnp.concatenate([ob_view, ob_dist], axis=1))  # [N,3]
+        c = feat.shape[1]
+        f4 = jnp.tile(feat[:, ::4], (1, 4))[:, :c]
+        f2 = jnp.tile(feat[:, ::2], (1, 2))[:, :c]
+        feat = (f4 * bank_w[:, 0:1] + f2 * bank_w[:, 1:2]
+                + feat * bank_w[:, 2:3])
+
     cat_view = jnp.concatenate([feat, ob_view, ob_dist], axis=1)  # [N,F+4]
 
     neural_opacity = apply_opacity(params.mlps, cat_view).reshape(n * k)

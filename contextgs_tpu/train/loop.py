@@ -165,12 +165,13 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
 
     step_fns: dict = {}
     eval_fns: dict = {}
+    budget_now = budget   # instance budget; doubles on rasterizer overflow
 
     def get_step(phase: str):
-        lk = (phase, model.buffers.alive.shape[0])
+        lk = (phase, model.buffers.alive.shape[0], budget_now)
         if lk not in step_fns:
             step_fns[lk] = make_train_step(
-                cfg, width, height, budget, phase,
+                cfg, width, height, budget_now, phase,
                 tuple(ts.level_scales or ()), ts.spatial_lr_scale, ts.voxel_size)
         return step_fns[lk]
 
@@ -184,6 +185,7 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
         return densify_jit[lk]
 
     order: list = []
+    pending_overflow = None
     t_start = time.time()
     opt = cfg.opt
     for it in range(ts.iteration + 1, opt.iterations + 1):
@@ -221,6 +223,19 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
         model = SceneModel(params, buffers)
         ts.model, ts.adam = model, adam
 
+        # rasterizer instance-budget overflow: a too-small budget silently
+        # drops the deepest instances and corrupts training, so react like the
+        # anchor pool does — double and re-jit. Checked one step DELAYED so the
+        # read doesn't force a host↔device sync on the critical dispatch path.
+        if pending_overflow is not None and bool(pending_overflow[1]):
+            budget_now *= 2
+            log.warning("raster budget overflow at iter %d → doubling "
+                        "instance budget to %d (re-jit)",
+                        pending_overflow[0], budget_now)
+            step_fns.clear()
+            eval_fns.clear()
+        pending_overflow = (it, metrics.overflowed)
+
         do_densify = (opt.update_from < it < opt.update_until
                       and it % opt.update_interval == 0
                       and not (3000 <= it < 4000))
@@ -243,12 +258,15 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
             # mid-training held-out evaluation (ref train.py:281-344
             # training_report renders the test split at test_iterations);
             # STE-quantized eval render, same-resolution cameras only
-            ek = (phase, tuple(ts.level_scales or ()))
+            ek = (phase, tuple(ts.level_scales or ()), budget_now)
             if ek not in eval_fns:
                 eval_fns[ek] = make_eval_render(
-                    cfg, width, height, budget, phase,
+                    cfg, width, height, budget_now, phase,
                     tuple(ts.level_scales or ()), ts.voxel_size)
-            key, k_e = jax.random.split(key)
+            # eval key derived OUTSIDE the training stream: enabling
+            # --test_iterations must not perturb training randomness vs an
+            # identical run without it (A/B reproducibility)
+            k_e = jax.random.fold_in(jax.random.PRNGKey(0xE7A1), it)
             psnrs = []
             from contextgs_tpu.ops.ssim import psnr as psnr_fn
             for c in scene.test_cameras:
@@ -268,7 +286,9 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
         if phase == "context" and it % 2000 == 0:
             # model-estimated bitstream size (ref train.py:178-197 logs the
             # per-stream estimate every 2000 iters)
-            est = _estimate_bits(model, cfg, ts, key)
+            est = _estimate_bits(model, cfg, ts,
+                                 jax.random.fold_in(jax.random.PRNGKey(0xB175),
+                                                    it))
             log.info("iter %d size estimate: %s", it, est)
 
         if it in cfg.checkpoint_iterations or it in cfg.save_iterations:
@@ -302,5 +322,9 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
                         level_scales=ts.level_scales,
                         voxel_size=ts.voxel_size, iteration=it))
 
+    if pending_overflow is not None and bool(pending_overflow[1]):
+        log.warning("raster budget overflow on the final iteration %d — "
+                    "rerun with --budget ≥ %d", pending_overflow[0],
+                    budget_now * 2)
     log.info("training done in %.1fs", time.time() - t_start)
     return ts

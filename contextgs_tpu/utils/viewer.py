@@ -26,10 +26,14 @@ device/framework coupling — the driver owns the jitted render.
 from __future__ import annotations
 
 import json
+import logging
 import socket
+import traceback
 from typing import Callable, Optional, Tuple
 
 import numpy as np
+
+log = logging.getLogger("contextgs_tpu")
 
 from contextgs_tpu.scene.cameras import MiniCam
 
@@ -131,6 +135,11 @@ class ViewerServer:
                                     or not keep_alive):
                     break
             except Exception:
+                # a broken pipe here is a client disconnect, but a shape/jit
+                # error in render_rgb is a real bug — log before dropping so
+                # render failures don't masquerade as disconnects
+                log.warning("viewer client dropped: %s",
+                            traceback.format_exc(limit=3).strip())
                 self.drop()
 
     def close(self) -> None:

@@ -117,7 +117,6 @@ def normals_from_positions(p: np.ndarray) -> np.ndarray:
     d1 = pp[:, :, 1:-1, 2:] - pp[:, :, 1:-1, :-2]
     n = np.cross(d0, d1, axisa=1, axisb=1, axisc=1)
     norm = np.linalg.norm(n, axis=1, keepdims=True) + 1e-5
-    norm = np.where(norm < 1e-5, 1.0, norm)
     return -n / norm
 
 

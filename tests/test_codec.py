@@ -86,3 +86,44 @@ def test_codec_deterministic(rng, tmp_path):
               "feat2.b", "scaling0.b", "offsets0.b"):
         with open(f"{d1}/{f}", "rb") as fa, open(f"{d2}/{f}", "rb") as fb:
             assert fa.read() == fb.read(), f"{f} differs between runs"
+
+
+def test_stream_escape_outliers():
+    """Residuals past MAX_WINDOW must round-trip exactly via the escape side
+    stream — no silent saturation (VERDICT r1 weak #8)."""
+    from contextgs_tpu.compression.codec import (_code_stream, _decode_stream,
+                                                 MAX_WINDOW)
+    r = np.random.default_rng(3)
+    n = 500
+    q = np.full(n, 0.01, np.float32)
+    mean = (r.normal(0, 1, n) * 0.01).astype(np.float32)
+    scale = np.full(n, 0.02, np.float32)
+    x = mean + r.normal(0, 0.02, n).astype(np.float32)
+    x[::50] = 100.0      # residual ≈ 10_000 steps ≫ MAX_WINDOW
+    x[25::50] = -80.0
+    data, w, side, deq = _code_stream(x, mean, scale, q)
+    assert w == MAX_WINDOW and len(side) > 0
+    out = _decode_stream(data, side, mean, scale, q, w)
+    np.testing.assert_array_equal(out, deq)
+    # decoded equals the exact quantization of x: outliers NOT saturated
+    expected = (np.round(x.astype(np.float64) / q) * q).astype(np.float32)
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_codec_roundtrip_with_feat_outliers(rng, tmp_path):
+    """End-to-end: extreme anchor_feat values survive encode∘decode exactly."""
+    model, voxel = _trainedish_model(rng, n_pts=200)
+    p, b = model.params, model.buffers
+    feat = np.asarray(p.anchor_feat).copy()
+    feat[5, 0] = 4000.0
+    feat[7, 2] = -3500.0
+    p = p._replace(anchor_feat=jnp.asarray(feat))
+    out = str(tmp_path / "bs_out")
+    _, enc_states = encode_scene(p, b, CFG, [4.0, 16.0], voxel, out,
+                                 return_states=True)
+    dec = decode_scene(out, CFG)
+    np.testing.assert_array_equal(dec.feat, enc_states["feat"])
+    alive = np.asarray(st.get_mask_anchor(p, b.alive))
+    kept = feat[alive]
+    # the outlier rows decode to their true (unsaturated) quantized values
+    assert np.abs(dec.feat - kept).max() < 1.01

@@ -174,20 +174,45 @@ def main(argv=None):
                           else [0.0, 0.0, 0.0], jnp.float32)
     viewer_fns: dict = {}
 
-    def viewer_render(ts_):
+    train_pixels = (scene.train_cameras[0].width
+                    * scene.train_cameras[0].height
+                    if scene.train_cameras else 0)
+
+    def viewer_render(ts_, it):
+        from contextgs_tpu.models.levels import build_level_maps
         from contextgs_tpu.models.renderer import render as model_render
+        from contextgs_tpu.train.loop import phase_of
+
+        # key the jitted viewer fn on the CURRENT training phase so the live
+        # preview shows STE-quantized context renders once the context phase
+        # starts (not the plain bypass), plus pool capacity / level scales
+        phase = phase_of(it, cfg)
+        scales = tuple(ts_.level_scales or ())
+        if phase == "context" and not scales:
+            phase = "noise"   # scales not searched yet this step
+        voxel = ts_.voxel_size
 
         def render_rgb(mc, scaling_mod):
-            key = (mc.width, mc.height)
+            key = (mc.width, mc.height, phase, scales,
+                   ts_.model.buffers.alive.shape[0])
             if key not in viewer_fns:
-                w, h = key
+                w, h = mc.width, mc.height
+                # the instance budget was sized for the training resolution;
+                # larger viewer frames need proportionally more slots
+                bud = max(args.budget, int(args.budget * (w * h)
+                                           / max(train_pixels or w * h, 1)))
 
                 def fn(params, buffers, cam, bg, k, smod):
+                    maps = None
+                    if phase == "context":
+                        anchor_q = st.get_anchor(params, buffers)
+                        maps = build_level_maps(anchor_q, buffers.alive,
+                                                voxel, scales,
+                                                cfg.model.level_num)
                     out = model_render(params, buffers, cfg.model, cfg.opt,
                                        cfg.pipe, cam, w, h, bg, k,
-                                       phase="plain", training=False,
-                                       budget=args.budget,
-                                       scale_modifier=smod)
+                                       phase=phase, training=False, maps=maps,
+                                       budget=bud, scale_modifier=smod)
                     return jnp.clip(out.image, 0.0, 1.0).transpose(1, 2, 0)
                 viewer_fns[key] = jax.jit(fn)
             cam = {k: jnp.asarray(v) for k, v in mc.as_device_dict().items()}
@@ -200,19 +225,33 @@ def main(argv=None):
     # only has manual cuda.synchronize wall-clocks; this is the TPU-native
     # profiler integration)
     prof_start = 20 if cfg.opt.iterations > 25 else 1
+    prof = {"active": False, "done": False}
+    if (args.profile_steps and cfg.model_path
+            and prof_start + args.profile_steps > cfg.opt.iterations):
+        log.warning("--profile_steps window [%d, %d) extends past the %d "
+                    "iterations; the trace will be closed at training end",
+                    prof_start, prof_start + args.profile_steps,
+                    cfg.opt.iterations)
+
+    def stop_profiler():
+        if prof["active"]:
+            jax.profiler.stop_trace()
+            prof["active"] = False
+            prof["done"] = True
+            log.info("profiler trace written to %s",
+                     os.path.join(cfg.model_path, "profile"))
 
     def tb_callback(it, ts_, metrics):
-        if args.profile_steps and cfg.model_path:
-            if it == prof_start:
+        if args.profile_steps and cfg.model_path and not prof["done"]:
+            if it == prof_start and not prof["active"]:
                 jax.profiler.start_trace(
                     os.path.join(cfg.model_path, "profile"))
-            elif it == prof_start + args.profile_steps:
+                prof["active"] = True
+            elif prof["active"] and it >= prof_start + args.profile_steps:
                 jax.block_until_ready(metrics.loss)
-                jax.profiler.stop_trace()
-                log.info("profiler trace written to %s",
-                         os.path.join(cfg.model_path, "profile"))
+                stop_profiler()
         if viewer is not None:
-            viewer.poll(viewer_render(ts_), cfg.source_path, it,
+            viewer.poll(viewer_render(ts_, it), cfg.source_path, it,
                         cfg.opt.iterations)
         if tb is not None and it % 100 == 0:
             tb.add_scalar("train_loss_patches/total_loss",
@@ -226,6 +265,7 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
 
     ts = train(cfg, scene, budget=args.budget, callback=tb_callback)
+    stop_profiler()   # close a trace whose window extended past training
     if args.warmup:
         # reboot from the just-saved PLY snapshot: its anchors become the
         # init point cloud of a fresh run (ref train.py:669-672)
@@ -238,6 +278,7 @@ def main(argv=None):
         scene = dataclasses.replace(
             scene, points=np.stack([v["x"], v["y"], v["z"]], axis=1))
         ts = train(cfg, scene, budget=args.budget, callback=tb_callback)
+        stop_profiler()
     if viewer is not None:
         viewer.close()
 
