@@ -48,10 +48,10 @@ def _written_mask(out, tile_bounds, n_tiles, chunk_size, b_pad):
 
     The kernels break each tile's chunk stream early once every pixel
     saturates; the forward records the per-tile chunk watermark in out
-    channel 5. Positions past a tile's watermark hold garbage and correspond
+    channel 4. Positions past a tile's watermark hold garbage and correspond
     to excluded instances (true gradient zero) — mask them. Built with the
     boundary-scatter+cumsum fill (valid_end is monotone across tiles)."""
-    wm = out[:n_tiles, 0, 5].astype(jnp.int32)              # chunks processed
+    wm = out[:n_tiles, 0, 4].astype(jnp.int32)              # chunks processed
     valid_end = tile_bounds[:n_tiles] + wm * chunk_size
     dd = valid_end - jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), valid_end[:-1]])
@@ -96,22 +96,27 @@ def _pack(gauss_rows, order, rank_aligned):
     ONE row gather from the small [G+1,·] depth-ordered table: the tile sort
     already delivered the depth rank per aligned slot (`rank_aligned`).
     Sentinel ranks (G) hit the appended zero row, so pad/overflow slots get
-    zero opacity with no extra mask multiply. The gather runs row-major
-    ({1,0}, its fast layout) behind an optimization_barrier; the single
-    explicit transpose to the kernel's component-major layout is a plain
-    bandwidth-bound copy."""
-    z1 = jnp.zeros((1, 9), gauss_rows.dtype)
-    rows_rank = jnp.concatenate([gauss_rows[order], z1])      # [G+1, 9]
-    packed = rows_rank[rank_aligned]                          # [B_pad, 9]
+    zero opacity with no extra mask multiply. Rows are zero-padded to the
+    full PACK width at [G] scale BEFORE either gather: full 64-byte rows are
+    the gather's fast path, and a slice/pad fused INTO a gather lowers to
+    per-element gathers (~60x slower, measured). (Composing the two gathers
+    through the per-slot gaussian id instead costs ~7 ms extra: the [B_pad]
+    scalar id gather is far slower than this [G]-scale row gather.) The
+    transpose to the kernel's component-major layout fuses into the gather's
+    output copy."""
+    G, w = gauss_rows.shape
+    rows16 = jnp.concatenate(
+        [gauss_rows, jnp.zeros((G, PACK - w), gauss_rows.dtype)], axis=1)
+    rows_rank = jnp.concatenate(
+        [rows16[order], jnp.zeros((1, PACK), rows16.dtype)])   # [G+1, PACK]
+    packed = rows_rank[rank_aligned]                           # [B_pad, PACK]
     packed = jax.lax.optimization_barrier(packed)
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((packed.shape[0], PACK - 9), packed.dtype)], axis=1)
     return packed.T
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
-def _pack_blend(gauss_rows, order, inv_order, rank_aligned, tile_bounds, perm,
-                seg_bounds, n_tiles: int, tiles_x: int, tile_size: int,
+def _pack_blend(gauss_rows, order, inv_order, rank_aligned, tile_bounds,
+                perm, seg_bounds, n_tiles: int, tiles_x: int, tile_size: int,
                 chunk_size: int, interpret: bool, row_offset: int):
     """Gather+blend with a segment-sum backward.
 
@@ -130,9 +135,9 @@ def _pack_blend(gauss_rows, order, inv_order, rank_aligned, tile_bounds, perm,
     return out[:n_tiles, :, 0:4]
 
 
-def _pack_blend_fwd(gauss_rows, order, inv_order, rank_aligned, tile_bounds,
-                    perm, seg_bounds, n_tiles, tiles_x, tile_size,
-                    chunk_size, interpret, row_offset):
+def _pack_blend_fwd(gauss_rows, order, inv_order, rank_aligned,
+                    tile_bounds, perm, seg_bounds, n_tiles, tiles_x,
+                    tile_size, chunk_size, interpret, row_offset):
     packed = _pack(gauss_rows, order, rank_aligned)
     out = blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
                                tile_size, chunk_size, interpret, row_offset)
@@ -149,30 +154,33 @@ def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
                                   row_offset)                  # [PACK, B_pad]
     in_use = _written_mask(out, tile_bounds, n_tiles, chunk_size,
                            packed.shape[1])
-    g9 = jnp.where(in_use[None, :], grads[:9], 0.0)
+    g16 = jnp.where(in_use[None, :], grads, 0.0)
     # materialize the row-major view behind a barrier: without it XLA fuses
     # the transpose INTO the downstream gather/cumsum, which then run in
     # column-major layout (~6 ms instead of a bandwidth-bound copy).
-    # (A 1-D flatten that pins a physically row-major table was tried and is
-    # a net loss: the forced transpose copy costs more than the faster
-    # row-major gather saves.)
-    gRM = jax.lax.optimization_barrier(g9.T)                   # [B_pad, 9]
-    gT = jnp.concatenate([gRM, jnp.zeros((1, 9), g9.dtype)])
-    g_depth = gT[perm]                      # [B,9]; dropped slots → zero row
-    cs = jnp.concatenate([jnp.zeros((1, 9), g9.dtype),
-                          jnp.cumsum(g_depth, axis=0)])        # [B+1, 9]
+    # All row ops below stay at the full PACK width: 64-byte rows are the
+    # gather fast path (see _pack), rows 9..15 are exact zeros from the
+    # kernel, and the cumsum is pass-count-bound, not width-bound (measured
+    # equal at 9 vs 16 columns).
+    gRM = jax.lax.optimization_barrier(g16.T)                  # [B_pad, PACK]
+    gT = jnp.concatenate([gRM, jnp.zeros((1, PACK), grads.dtype)])
+    g_depth = gT[perm]                   # [B,PACK]; dropped slots → zero row
+    cs = jnp.concatenate([jnp.zeros((1, PACK), grads.dtype),
+                          jnp.cumsum(g_depth, axis=0)])        # [B+1, PACK]
     B = g_depth.shape[0]
     # ONE boundary gather (rows G+1) instead of separate cs[hi]/cs[lo]: the
     # bounds are shared endpoints, diff recovers the per-rank segment sums
-    cs_b = cs[jnp.clip(seg_bounds, 0, B)]                      # [G+1, 9]
-    per_rank = cs_b[1:] - cs_b[:-1]                            # [G, 9]
+    cs_b = cs[jnp.clip(seg_bounds, 0, B)]                      # [G+1, PACK]
+    per_rank = cs_b[1:] - cs_b[:-1]                            # [G, PACK]
     # gather (not scatter) back to gaussian order: per-gaussian row = its
-    # depth rank's segment sum; culled gaussians have empty segments → zero
-    d_rows = per_rank[inv_order]
+    # depth rank's segment sum; culled gaussians have empty segments → zero.
+    # barrier: a slice FUSED into a gather lowers to per-element gathers
+    # (~60x slower, measured) — materialize full rows, then slice.
+    d_rows = jax.lax.optimization_barrier(per_rank[inv_order])[:, :9]
     f0 = _float0_like
     b_pad = packed.shape[1]
-    i0 = f0(jnp.zeros((G,), jnp.int32))
-    return (d_rows, i0, i0, f0(jnp.zeros((b_pad,), jnp.int32)),
+    ib = f0(jnp.zeros((b_pad,), jnp.int32))
+    return (d_rows, ib, f0(jnp.zeros((G,), jnp.int32)), ib,
             f0(tile_bounds), f0(perm), f0(seg_bounds))
 
 
@@ -202,6 +210,7 @@ def rasterize(
     scale_modifier: float = 1.0,
     screen_dummy: jnp.ndarray | None = None,
     tile_band: tuple | None = None,
+    slack: int | None = None,
 ) -> RasterOutput:
     """Differentiable tile rasterization of 3D gaussians.
 
@@ -233,7 +242,7 @@ def rasterize(
         ndc_scale = jnp.array([0.5 * width, 0.5 * height], means3d.dtype)
         proj = proj._replace(means2d=proj.means2d + screen_dummy * ndc_scale)
     inst = expand_and_sort(proj, tiles_x, band_rows, budget, align=chunk_size,
-                           tile_row_offset=row0)
+                           tile_row_offset=row0, slack=slack)
 
     band_h = (min(height - row0 * tile_size, band_rows * tile_size)
               if tile_band is None else band_rows * tile_size)

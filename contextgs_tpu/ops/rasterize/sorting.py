@@ -78,14 +78,31 @@ class TileInstances(NamedTuple):
                                # counts (slot ranges in depth order, pre-cap)
 
 
-def padded_size(budget: int, n_tiles: int, align: int) -> int:
+def default_slack(n_tiles: int, align: int) -> int:
+    """Alignment-padding headroom of the instance table.
+
+    Worst-case per-tile alignment waste is align-1; the EXPECTED waste is
+    (align-1)/2 (segment lengths uniform mod align), with fluctuation that is
+    tiny relative to the mean at realistic tile counts (thousands of tiles).
+    5/8·align covers mean + a wide margin while keeping the static table ~20%
+    smaller than the worst case — every downstream gather/transpose/cumsum
+    scales with it. Overflow is detected exactly and reacted to host-side
+    (train/loop.py doubles the budget and re-jits)."""
+    return -(-(n_tiles * align * 5 // 8) // align) * align
+
+
+def padded_size(budget: int, n_tiles: int, align: int,
+                slack: int | None = None) -> int:
     """Static size of the aligned instance table."""
-    return budget + n_tiles * align
+    if slack is None:
+        slack = default_slack(n_tiles, align)
+    return budget + min(slack, n_tiles * align)
 
 
 def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
                     budget: int, align: int = 256,
-                    tile_row_offset: int = 0) -> TileInstances:
+                    tile_row_offset: int = 0,
+                    slack: int | None = None) -> TileInstances:
     """Build the sorted, segment-aligned tile-instance table (static shapes).
 
     With `tile_row_offset`, tile ids are local to a horizontal band starting
@@ -222,8 +239,15 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         part = ((ix[None, :] >= sx) & (ix[None, :] < sx + sw)
                 & (k2d >= 0) & (k2d < r_part)).astype(jnp.int32)
         seg_len = (cnt2d.astype(jnp.int32) + part).reshape(n_tiles)
-    b_pad = padded_size(budget, n_tiles, align)
+    b_pad = padded_size(budget, n_tiles, align, slack)
     n_fill = n_tiles * align
+    # the sort below pads every tile to a full `align` multiple (worst case),
+    # but the STATIC aligned table keeps only `slack` padding headroom: the
+    # sorted prefix [:b_pad] is kept, the tail dropped. If real instances
+    # spill past b_pad (pathological alignment waste), flag overflow — the
+    # host reacts exactly like a budget overflow (clamped bounds stay
+    # chunk-aligned, so kernels just see truncated trailing tiles).
+    b_full = budget + n_fill
 
     if use_hist:
         # --- phase 2, aligned-by-construction: segment lengths are known
@@ -236,6 +260,8 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         pad_len = ((seg_len + align - 1) // align) * align
         bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                   jnp.cumsum(pad_len).astype(jnp.int32)])
+        overflowed = overflowed | (bounds[-1] > b_pad)
+        bounds = jnp.minimum(bounds, b_pad)
         pad_needed = pad_len - seg_len                         # [n_tiles], <align
         f_keep = (jax.lax.broadcasted_iota(jnp.int32, (n_tiles, align), 1)
                   < pad_needed[:, None])
@@ -267,19 +293,23 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
                                                        jnp.int32)])
             _, src_sorted, out_rank = jax.lax.sort(
                 (tile_ext, slot_ext, rank_ext), num_keys=2)
-        out_valid = out_rank < G
 
         # depth-order slot → aligned position: every real slot appears exactly
         # once in src_sorted (fillers carry the sentinel `budget` and sort
-        # last within the value), so a 2-operand sort inverts it. Lazy:
-        # DCE'd unless the consumer needs it.
+        # last within the value), so a 2-operand sort inverts it. The aligned
+        # table is the PREFIX [:b_pad] of the full sorted stream, so full-
+        # stream positions < b_pad stay valid; dropped slots → sentinel b_pad
+        # (zero gradient row). Lazy: DCE'd unless the consumer needs it.
         # unstable: values 0..budget-1 are unique; ties exist only among the
         # sentinel fillers, whose positions are sliced away below
         pos_sorted = jax.lax.sort(
-            (src_sorted, jnp.arange(b_pad, dtype=jnp.int32)), num_keys=1,
+            (src_sorted, jnp.arange(b_full, dtype=jnp.int32)), num_keys=1,
             is_stable=False)[1]
-        perm = pos_sorted[:budget]
-        out_src = jnp.minimum(src_sorted, budget)
+        perm = jnp.minimum(pos_sorted[:budget], b_pad)
+
+        out_rank = out_rank[:b_pad]
+        out_valid = out_rank < G
+        out_src = jnp.minimum(src_sorted[:b_pad], budget)
     else:
         # --- phase 2 fallback (huge scenes: the cover matrices of the
         # histogram would not fit): sort reals only, recover bounds with a
@@ -301,9 +331,11 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         pad_len = ((seg_len + align - 1) // align) * align
         bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                   jnp.cumsum(pad_len).astype(jnp.int32)])
+        overflowed = overflowed | (bounds[-1] > b_pad)
         # aligned_pos = sorted_pos + accumulated pad of earlier segments; the
         # per-sorted-slot pad shift is a forward fill from tile boundaries
         delta = bounds[:-1] - raw_bounds[:-1]                  # [n_tiles]
+        bounds = jnp.minimum(bounds, b_pad)
         dd = delta - jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                       delta[:-1]])
         shift = jnp.zeros((budget,), jnp.int32).at[raw_bounds[:-1]].add(
@@ -313,14 +345,15 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
 
         # ONE scalar scatter spreads the depth rank into the aligned table;
         # the pack step is then a single [B_pad] row gather from the [G,·]
-        # splat rows (sentinel G hits an appended zero row).
+        # splat rows (sentinel G hits an appended zero row). Positions past
+        # b_pad (slack overflow) are dropped — flagged above.
         out_rank = jnp.full((b_pad,), G, jnp.int32).at[new_pos].set(
             rank_s, mode="drop")
         out_valid = out_rank < G
 
         # depth-order slot → aligned position, sort-based inversion. Lazy.
         _, perm = jax.lax.sort(
-            (src_slot, jnp.where(src_valid, new_pos, b_pad)), num_keys=1)
+            (src_slot, jnp.minimum(new_pos, b_pad)), num_keys=1)
 
         # aligned src_slot table (lazy): scatter like out_rank
         out_src = jnp.full((b_pad,), budget, jnp.int32).at[new_pos].set(

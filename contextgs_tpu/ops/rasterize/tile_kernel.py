@@ -43,7 +43,7 @@ from contextgs_tpu.ops.rasterize.common import (ALPHA_EPS, LOG_T_EPS,  # noqa: F
 
 PACK = 16          # instance component rows (sublane-tiling multiple of 8)
 PIX = 256          # pixels per 16x16 tile
-OUTC = 8           # output channels per pixel: rgb, T, logT, watermark, pad
+OUTC = 8           # output channels per pixel: rgb, T, watermark (x4)
 ET_MIN_CHUNKS = 2  # segments at most this long skip the early-term check
 
 
@@ -275,14 +275,15 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
     rgb0 = jnp.zeros((PIX, 3), jnp.float32)
 
     def epilogue(ci_end, t_run, rgb):
-        # channel 5: chunks processed (watermark) — the backward runs exactly
-        # this many chunks (fori, no per-chunk sync) and the XLA side masks
-        # the never-written gradient region past it. One fused store.
-        logt = jnp.log(jnp.maximum(t_run, 1e-30))
-        wm = jnp.broadcast_to(ci_end.astype(jnp.float32), (PIX, 1))
-        out_ref[j] = jnp.concatenate(
-            [rgb, t_run, logt, wm, jnp.zeros((PIX, OUTC - 6), jnp.float32)],
-            axis=1)
+        # channels 4..7: chunks processed (watermark) — the backward runs
+        # exactly this many chunks (fori, no per-chunk sync) and the XLA side
+        # masks the never-written gradient region past it. Built from as few
+        # concat pieces as possible: every [PIX,1]-narrow op here uses 1/128
+        # of the VPU lanes, and the epilogue runs once per tile SLOT — it is
+        # the kernel's fixed floor (~0.6 us/tile measured), so no logT
+        # channel, no zero-pad pieces.
+        wm = jnp.broadcast_to(ci_end.astype(jnp.float32), (PIX, OUTC - 4))
+        out_ref[j] = jnp.concatenate([rgb, t_run, wm], axis=1)
 
     # Short segments (the common case: segments average 1-2 chunks) run a
     # fori_loop with no early-termination check — the check's vector→scalar
@@ -321,7 +322,7 @@ def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
     [n_tiles_pad, PIX, OUTC] with n_tiles_pad = ceil(n_tiles/TILES_PER_STEP).
 
     Output channels: 0-2 accumulated RGB (no background), 3 final T,
-    4 final logT, 5 per-tile chunk watermark.
+    4-7 per-tile chunk watermark (broadcast).
     """
     tb = TILES_PER_STEP
     n_steps = -(-n_tiles // tb)
@@ -526,7 +527,7 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
     kernel = functools.partial(_bwd_kernel, chunk_size=chunk_size,
                                tiles_x=tiles_x, tile_size=tile_size,
                                row_offset=row_offset, tiles_per_step=tb)
-    watermarks = fwd_out[:, 0, 5].astype(jnp.int32)
+    watermarks = fwd_out[:, 0, 4].astype(jnp.int32)
     # the cotangent may arrive with only the 4 image channels (rgb + T) and
     # only n_tiles rows — padded-tile rows are never read (watermark 0)
     cotc = cotangent.shape[-1]

@@ -129,8 +129,7 @@ def main():
 
     def eas_used(p):
         i = expand_and_sort(p, tiles_x, tiles_y, BUDGET, align=CHUNK)
-        return (i.rank_aligned, i.tile_bounds, i.perm, i.order, i.inv_order,
-                i.seg_bounds, i.total, i.overflowed)
+        return (i.rank_aligned, i.tile_bounds, i.perm, i.order, i.inv_order, i.seg_bounds, i.total, i.overflowed)
 
     inst = jax.jit(lambda p: expand_and_sort(p, tiles_x, tiles_y, BUDGET,
                                              align=CHUNK))(proj)
