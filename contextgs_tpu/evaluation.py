@@ -97,6 +97,12 @@ def evaluate_images(renders: list, gts: list) -> dict:
     out = dict(PSNR=float(np.mean(psnrs)), SSIM=float(np.mean(ssims)),
                per_view=dict(PSNR=psnrs, SSIM=ssims, LPIPS=lpipss),
                LPIPS=float(np.mean(lpipss)) if lpipss else None)
+    if jlpips is None:
+        # make the omission explicit in results.json rather than silent
+        # (ref train.py:50-51 always computes LPIPS; here it is gated on an
+        # exported VGG weight file in zero-egress environments)
+        out["LPIPS_skipped"] = ("no VGG weights: set CONTEXTGS_LPIPS_WEIGHTS "
+                                "to an exported .npz (see ops/lpips.py)")
     return out
 
 
@@ -146,6 +152,8 @@ def write_results(model_path: str, name: str, metrics: dict, size_bits=None,
             existing = json.load(f)
     entry = {"PSNR": metrics["PSNR"], "SSIM": metrics["SSIM"],
              "LPIPS": metrics.get("LPIPS"), "FPS": fps}
+    if metrics.get("LPIPS_skipped"):
+        entry["LPIPS_skipped"] = metrics["LPIPS_skipped"]
     if size_bits is not None:
         entry["size_MB"] = size_bits.get("total", 0) / 8 / 1024 / 1024
         entry["size_breakdown_bits"] = {

@@ -126,7 +126,12 @@ def _zero_anchor_rows(tree, sel):
 
 def adjust_anchors(params: Params, buffers: Buffers, adam: AdamState,
                    cfg: ModelConfig, opt: OptimizationConfig,
-                   voxel_size: float, key: jax.Array) -> DensifyResult:
+                   voxel_size: float, key: jax.Array,
+                   gather_axis: str | None = None) -> DensifyResult:
+    """With `gather_axis` (inside shard_map over that mesh axis), the
+    occupied-voxel dedup checks candidates against ALL shards' anchors (an
+    all_gather of the int32 voxel keys — the reference's global `unique`
+    semantics); growth slots, stats, and pruning stay shard-local."""
     n, k = params.offsets.shape[0], cfg.n_offsets
     nk = n * k
 
@@ -158,7 +163,11 @@ def adjust_anchors(params: Params, buffers: Buffers, adam: AdamState,
 
         gid, is_leader, _ = _sorted_groups(cand_keys, cand,
                                            jnp.arange(nk, dtype=jnp.int32))
-        occupied = _voxel_occupied(cand_keys, cand, anchor_keys, alive)
+        occ_keys, occ_valid = anchor_keys, alive
+        if gather_axis is not None:
+            occ_keys = jax.lax.all_gather(anchor_keys, gather_axis, tiled=True)
+            occ_valid = jax.lax.all_gather(alive, gather_axis, tiled=True)
+        occupied = _voxel_occupied(cand_keys, cand, occ_keys, occ_valid)
         # a group is occupied iff any member is (same voxel): leaders decide
         occ_per_group = jax.ops.segment_max(
             occupied.astype(jnp.int32), gid, num_segments=nk)

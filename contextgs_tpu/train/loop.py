@@ -161,14 +161,16 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
                      else [0.0, 0.0, 0.0], jnp.float32)
     cam_devs = [c.as_device_dict() for c in cams]
     gts = [jnp.asarray(np.transpose(c.image, (2, 0, 1))) for c in cams]
-    width, height = cams[0].width, cams[0].height
 
     step_fns: dict = {}
     eval_fns: dict = {}
     budget_now = budget   # instance budget; doubles on rasterizer overflow
 
-    def get_step(phase: str):
-        lk = (phase, model.buffers.alive.shape[0], budget_now)
+    def get_step(phase: str, width: int, height: int):
+        # jitted per (phase, pool capacity, budget, resolution): mixed-
+        # resolution scenes (ref scene/__init__.py:80-84 keeps camera lists
+        # per resolution scale) each compile once and then share the cache
+        lk = (phase, model.buffers.alive.shape[0], budget_now, width, height)
         if lk not in step_fns:
             step_fns[lk] = make_train_step(
                 cfg, width, height, budget_now, phase,
@@ -216,7 +218,7 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
 
         with_stats = jnp.asarray(opt.start_stat < it < opt.update_until)
         key, k_step = jax.random.split(key)
-        step = get_step(phase)
+        step = get_step(phase, cams[ci].width, cams[ci].height)
         params, buffers, adam, metrics = step(
             model.params, model.buffers, ts.adam, cam_devs[ci], gts[ci], bg,
             jnp.asarray(it, jnp.float32), with_stats, k_step)
@@ -257,12 +259,7 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
         if it in cfg.test_iterations and scene.test_cameras:
             # mid-training held-out evaluation (ref train.py:281-344
             # training_report renders the test split at test_iterations);
-            # STE-quantized eval render, same-resolution cameras only
-            ek = (phase, tuple(ts.level_scales or ()), budget_now)
-            if ek not in eval_fns:
-                eval_fns[ek] = make_eval_render(
-                    cfg, width, height, budget_now, phase,
-                    tuple(ts.level_scales or ()), ts.voxel_size)
+            # STE-quantized eval render, jitted per camera resolution
             # eval key derived OUTSIDE the training stream: enabling
             # --test_iterations must not perturb training randomness vs an
             # identical run without it (A/B reproducibility)
@@ -270,8 +267,12 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
             psnrs = []
             from contextgs_tpu.ops.ssim import psnr as psnr_fn
             for c in scene.test_cameras:
-                if (c.width, c.height) != (width, height):
-                    continue
+                ek = (phase, tuple(ts.level_scales or ()), budget_now,
+                      c.width, c.height)
+                if ek not in eval_fns:
+                    eval_fns[ek] = make_eval_render(
+                        cfg, c.width, c.height, budget_now, phase,
+                        tuple(ts.level_scales or ()), ts.voxel_size)
                 img = eval_fns[ek](model.params, model.buffers,
                                    c.as_device_dict(), bg, k_e)
                 gt = jnp.asarray(np.transpose(c.image, (2, 0, 1)))

@@ -75,9 +75,11 @@ def measure(n_devices: int, size: int, n_pts: int, iters: int,
                                    backend=backend)
 
     def chain(params, adam):
+        bufs = buffers
         for _ in range(iters):   # unrolled: params/adam feed back (data dep)
-            params, adam, _ = step(params, buffers, adam, cam, gt, bg,
-                                   jnp.float32(11000.0), jax.random.PRNGKey(0))
+            params, bufs, adam, _ = step(
+                params, bufs, adam, cam, gt, bg, jnp.float32(11000.0),
+                jnp.asarray(True), jax.random.PRNGKey(0))
         return params
 
     chained = jax.jit(chain)
