@@ -94,6 +94,25 @@ def main():
     ra = np.asarray(rank)
     print("monotone frac:", float(np.mean(np.diff(ra) > 0)))
 
+    # regroup width comparison on the REAL perm/seg_bounds
+    rng2 = np.random.default_rng(1)
+    g16 = jnp.asarray(rng2.normal(size=(16, b_pad)).astype(np.float32))
+
+    def regroup(gw, perm, segb, inv, w):
+        gRM = jax.lax.optimization_barrier(gw[:w].T)
+        gT = jnp.concatenate([gRM, jnp.zeros((1, w), gw.dtype)])
+        g_depth = gT[perm]
+        cs = jnp.concatenate([jnp.zeros((1, w), gw.dtype),
+                              jnp.cumsum(g_depth, axis=0)])
+        B = g_depth.shape[0]
+        cs_b = cs[jnp.clip(segb, 0, B)]
+        per_rank = cs_b[1:] - cs_b[:-1]
+        return jax.lax.optimization_barrier(per_rank[inv])[:, :9]
+
+    for w in (9, 16):
+        timeit(f"regroup width {w}", lambda g, p, s, i: regroup(g, p, s, i, w),
+               g16, inst.perm, inst.seg_bounds, inst.inv_order)
+
 
 if __name__ == "__main__":
     main()

@@ -148,16 +148,18 @@ def main():
     n_pad_tiles = fwd_out.shape[0]
     cot = jnp.ones((n_tiles, 256, 4), jnp.float32)
 
-    def bwd_reduce(g9, perm, seg_bounds, inv_order):
-        gRM = jax.lax.optimization_barrier(g9.T)
-        gT = jnp.concatenate([gRM, jnp.zeros((1, 9), g9.dtype)])
+    def bwd_reduce(g16, perm, seg_bounds, inv_order):
+        # mirror of _pack_blend_bwd's segment reduce (16-wide rows)
+        PACKW = g16.shape[0]
+        gRM = jax.lax.optimization_barrier(g16.T)
+        gT = jnp.concatenate([gRM, jnp.zeros((1, PACKW), g16.dtype)])
         g_depth = gT[perm]
-        cs = jnp.concatenate([jnp.zeros((1, 9), g9.dtype),
+        cs = jnp.concatenate([jnp.zeros((1, PACKW), g16.dtype),
                               jnp.cumsum(g_depth, axis=0)])
         B = g_depth.shape[0]
         cs_b = cs[jnp.clip(seg_bounds, 0, B)]
         per_rank = cs_b[1:] - cs_b[:-1]
-        return per_rank[inv_order]
+        return jax.lax.optimization_barrier(per_rank[inv_order])[:, :9]
 
     def proj_vjp(m, s, q, o):
         _, vjp = jax.vjp(lambda a, b, c: proj_fn(a, b, c, o).means2d,
@@ -176,7 +178,7 @@ def main():
     total += timeit("blend bwd", lambda p, f, c, b: blend_backward_pallas(
         p, b, f, c, n_tiles, tiles_x, TILE, CHUNK, False),
         packed, fwd_out, cot, inst.tile_bounds, iters=ITERS)
-    total += timeit("bwd segment reduce", bwd_reduce, packed[:9],
+    total += timeit("bwd segment reduce", bwd_reduce, packed,
                     inst.perm, inst.seg_bounds, inst.inv_order, iters=ITERS)
     total += timeit("projection vjp", proj_vjp, jargs[0], jargs[1], jargs[2],
                     jargs[4], iters=ITERS)
