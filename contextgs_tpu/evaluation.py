@@ -53,26 +53,46 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
     masks = pad(dec.masks)   # padded slots: mask 0 → no gaussians
     backend = pipe.backend if pipe.backend != "auto" else "pallas"
 
-    @jax.jit
-    def run(cam: dict, bg: jnp.ndarray):
-        vis = rz.visible_filter(anchor, scaling[:, :3], cam["world_view"],
-                                cam["full_proj"], cam["tanfovx"],
-                                cam["tanfovy"], width, height)
-        ng = decode_neural_gaussians(
-            params, None, mcfg, cam["camera_center"], vis, feat=feat,
-            grid_scaling=scaling, grid_offsets=offsets, anchor=anchor,
-            binary_mask=masks)
-        out = rz.rasterize(ng.xyz, ng.scaling, ng.rot, ng.color, ng.opacity,
-                           world_view=cam["world_view"],
-                           full_proj=cam["full_proj"],
-                           tanfovx=cam["tanfovx"], tanfovy=cam["tanfovy"],
-                           width=width, height=height, bg=bg,
-                           tile_size=pipe.tile_size, budget=budget,
-                           chunk_size=pipe.chunk_size, backend=backend,
-                           valid=ng.gauss_valid)
-        return out.image
+    def make_run(bdg: int):
+        @jax.jit
+        def run(cam: dict, bg: jnp.ndarray):
+            vis = rz.visible_filter(anchor, scaling[:, :3], cam["world_view"],
+                                    cam["full_proj"], cam["tanfovx"],
+                                    cam["tanfovy"], width, height)
+            ng = decode_neural_gaussians(
+                params, None, mcfg, cam["camera_center"], vis, feat=feat,
+                grid_scaling=scaling, grid_offsets=offsets, anchor=anchor,
+                binary_mask=masks)
+            out = rz.rasterize(ng.xyz, ng.scaling, ng.rot, ng.color,
+                               ng.opacity,
+                               world_view=cam["world_view"],
+                               full_proj=cam["full_proj"],
+                               tanfovx=cam["tanfovx"], tanfovy=cam["tanfovy"],
+                               width=width, height=height, bg=bg,
+                               tile_size=pipe.tile_size, budget=bdg,
+                               chunk_size=pipe.chunk_size, backend=backend,
+                               valid=ng.gauss_valid)
+            return out.image, out.overflowed
+        return run
 
-    return run
+    # instance-budget overflow silently truncates the deepest splats of
+    # exactly the renders used for reported PSNR — react like the train loop
+    # (train/loop.py budget doubling): double and re-jit, then re-render.
+    state = {"budget": budget, "run": make_run(budget)}
+
+    def render(cam: dict, bg: jnp.ndarray):
+        while True:
+            img, overflowed = state["run"](cam, bg)
+            if not bool(overflowed):
+                return img
+            state["budget"] *= 2
+            import logging
+            logging.getLogger("contextgs").warning(
+                "decoded-render instance budget overflow → doubling to %d "
+                "(re-jit)", state["budget"])
+            state["run"] = make_run(state["budget"])
+
+    return render
 
 
 def evaluate_images(renders: list, gts: list) -> dict:

@@ -179,8 +179,9 @@ def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
     d_rows = jax.lax.optimization_barrier(per_rank[inv_order])[:, :9]
     f0 = _float0_like
     b_pad = packed.shape[1]
+    ig = f0(jnp.zeros((G,), jnp.int32))
     ib = f0(jnp.zeros((b_pad,), jnp.int32))
-    return (d_rows, ib, f0(jnp.zeros((G,), jnp.int32)), ib,
+    return (d_rows, ig, ig, ib,
             f0(tile_bounds), f0(perm), f0(seg_bounds))
 
 

@@ -87,7 +87,15 @@ def default_slack(n_tiles: int, align: int) -> int:
     5/8·align covers mean + a wide margin while keeping the static table ~20%
     smaller than the worst case — every downstream gather/transpose/cumsum
     scales with it. Overflow is detected exactly and reacted to host-side
-    (train/loop.py doubles the budget and re-jits)."""
+    (train/loop.py doubles the budget and re-jits).
+
+    At SMALL tile counts (multi-chip bands, small images) the fluctuation is
+    NOT tiny — at ~4 occupied tiles 5/8·align sits only ~1.7σ above the mean
+    waste, so slack overflow could fire non-pathologically; there the full
+    worst case is cheap anyway, so use it and make overflow mean what it says
+    (instances genuinely exceeded the budget)."""
+    if n_tiles <= 512:
+        return n_tiles * align
     return -(-(n_tiles * align * 5 // 8) // align) * align
 
 

@@ -262,10 +262,11 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, width: int,
 
 def make_sharded_densify(cfg: TrainConfig, mesh: Mesh, voxel_size: float):
     """`adjust_anchors` under the mesh: growth uses the shard's OWN free-slot
-    pool and dedups against the shard's own anchors (fully local, zero
-    communication). Cross-shard same-voxel duplicates from one interval are
-    removed by the next host-side `reshard_anchors` (keep-first, like the
-    reference's unique)."""
+    pool; candidate voxels are deduplicated against the EXISTING anchors of
+    all shards (adjust_anchors all_gathers every shard's voxel keys per level
+    via ``gather_axis``). Only candidate-vs-candidate duplicates across shards
+    within one interval can slip through; those are removed by the next
+    host-side `reshard_anchors` (keep-first, like the reference's unique)."""
     from contextgs_tpu.models import densify as dn
 
     @jax.jit
@@ -331,9 +332,21 @@ def reshard_anchors(params: Params, buffers: Buffers, adam: AdamState,
 
     Returns (params, buffers, adam) as HOST-side pytrees with capacity a
     multiple of n_dev — re-place with `shard_model`."""
-    anchor = np.asarray(params.anchor)
     alive = np.asarray(buffers.alive).copy()
     n = alive.shape[0]
+
+    # key voxels/trees off the 16-bit QUANTIZED anchor — the same grid the
+    # training step uses (build_level_maps on anchor_q via st.get_anchor) and
+    # adjust_anchors dedups on. Keying off the raw anchor can round a
+    # boundary-adjacent anchor into a different voxel/parent than at train
+    # time, silently splitting a context tree across shards.
+    from contextgs_tpu.models.quant import ANCHOR_ROUND_DIGITS, Q_ANCHOR
+    bmin = np.asarray(buffers.bound_min)
+    bmax = np.asarray(buffers.bound_max)
+    interval = (bmax - bmin) * Q_ANCHOR + 1e-6
+    codes = np.clip(np.floor((np.asarray(params.anchor) - bmin) / interval),
+                    0, 2 ** ANCHOR_ROUND_DIGITS - 1)
+    anchor = codes * interval + bmin                  # quantized grid anchor
 
     keys = np.round(anchor / voxel_size).astype(np.int64)
     ai = np.nonzero(alive)[0]

@@ -78,3 +78,37 @@ def test_decoded_render_matches_eval_context(rng, tmp_path):
     diff = np.abs(img_dec - img_eval)
     assert diff.max() < 5e-2, f"decoded render drifted: max diff {diff.max()}"
     assert diff.mean() < 2e-3
+
+
+def test_decoded_render_recovers_from_budget_overflow(rng, tmp_path, caplog):
+    """VERDICT r2 weak #6: a too-small eval instance budget must not silently
+    truncate the deepest splats of the reported renders — the decoded renderer
+    doubles the budget and re-renders, like the train loop does."""
+    import logging
+
+    pts = rng.uniform(-0.6, 0.6, (120, 3)) + np.array([0, 0, 2.5])
+    model, voxel = st.init_scene_model(jax.random.PRNGKey(0), pts, CFG)
+    p = model.params
+    p = p._replace(offsets=jax.random.normal(
+        jax.random.PRNGKey(3), p.offsets.shape) * 0.2)
+    b = model.buffers
+    scales = [4.0, 16.0]
+
+    out_dir = str(tmp_path / "bs")
+    encode_scene(p, b, CFG, scales, voxel, out_dir)
+    dec = decode_scene(out_dir, CFG)
+    cfg_full = TrainConfig(model=CFG, opt=OptimizationConfig(),
+                           pipe=PipelineConfig(backend="reference",
+                                               chunk_size=128))
+    cam = make_test_camera(width=W, height=H)
+    cd = {k: jnp.asarray(v) for k, v in cam.as_device_dict().items()}
+
+    ok = make_decoded_renderer(dec, cfg_full, W, H, budget=4096)
+    img_ref = np.asarray(ok(cd, jnp.zeros(3)))
+
+    tiny = make_decoded_renderer(dec, cfg_full, W, H, budget=16)
+    with caplog.at_level(logging.WARNING, logger="contextgs"):
+        img_tiny = np.asarray(tiny(cd, jnp.zeros(3)))
+    assert any("overflow" in r.message for r in caplog.records), \
+        "overflow was not logged"
+    np.testing.assert_allclose(img_tiny, img_ref, atol=1e-5)
