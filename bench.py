@@ -75,13 +75,18 @@ def main():
         def body(i, m):
             g = grad(m, scales, quats, colors, opac)[0]
             return m + 0.0 * g          # chain iterations via data dependency
-        return jax.lax.fori_loop(0, iters, body, means)
+        out = jax.lax.fori_loop(0, iters, body, means)
+        # reduce to a scalar ON DEVICE: the sync fetch below must pull real
+        # bytes (tunnel fence) but as FEW as possible — the tunnel moves only
+        # ~27 MB/s with a ~25 ms fixed roundtrip (measured), so fetching the
+        # full [G,3] here would bill ~90 ms of wire time to the kernels
+        return jnp.sum(out)
 
     args = tuple(map(jnp.asarray, (means, scales, quats, colors, opac)))
     out = bench_n(*args)
     # sync via a real data fetch: under remote/tunneled backends
     # block_until_ready can return before execution finishes, so the only
-    # trustworthy fence is pulling bytes off the device (cheap: [G,3] f32)
+    # trustworthy fence is pulling bytes off the device (a scalar)
     np.asarray(out)                    # compile + warm + fetch-path warm
     t0 = time.time()
     out = bench_n(*args)

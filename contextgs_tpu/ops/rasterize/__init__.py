@@ -24,7 +24,8 @@ from contextgs_tpu.ops.rasterize.projection import (ProjectedGaussians,
                                                     visible_filter)
 from contextgs_tpu.ops.rasterize.reference import blend_reference
 from contextgs_tpu.ops.rasterize.sorting import TileInstances, expand_and_sort
-from contextgs_tpu.ops.rasterize.tile_kernel import (PACK, blend_backward_pallas,
+from contextgs_tpu.ops.rasterize.tile_kernel import (OUTC, PACK, PIX,
+                                                     blend_backward_pallas,
                                                      blend_forward_pallas)
 
 __all__ = ["rasterize", "visible_filter", "project_gaussians",
@@ -41,53 +42,6 @@ class RasterOutput(NamedTuple):
 
 def _float0_like(x):
     return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
-
-
-def _written_mask(out, tile_bounds, n_tiles, chunk_size, b_pad):
-    """[B_pad] bool: aligned slots the bwd kernel actually wrote.
-
-    The kernels break each tile's chunk stream early once every pixel
-    saturates; the forward records the per-tile chunk watermark in out
-    channel 4. Positions past a tile's watermark hold garbage and correspond
-    to excluded instances (true gradient zero) — mask them. Built with the
-    boundary-scatter+cumsum fill (valid_end is monotone across tiles)."""
-    wm = out[:n_tiles, 0, 4].astype(jnp.int32)              # chunks processed
-    valid_end = tile_bounds[:n_tiles] + wm * chunk_size
-    dd = valid_end - jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), valid_end[:-1]])
-    heads = jnp.zeros((b_pad,), jnp.int32).at[tile_bounds[:n_tiles]].add(
-        dd, mode="drop", indices_are_sorted=True)
-    return jnp.arange(b_pad, dtype=jnp.int32) < jnp.cumsum(heads)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _blend_pallas(packed, tile_bounds,
-                  n_tiles: int, tiles_x: int, tile_size: int, chunk_size: int,
-                  interpret: bool, row_offset: int):
-    return blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
-                                tile_size, chunk_size, interpret, row_offset)
-
-
-def _blend_fwd(packed, tile_bounds, n_tiles, tiles_x, tile_size,
-               chunk_size, interpret, row_offset):
-    out = blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
-                               tile_size, chunk_size, interpret, row_offset)
-    return out, (packed, tile_bounds, out)
-
-
-def _blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret, row_offset,
-               residuals, cot):
-    packed, tile_bounds, out = residuals
-    grads = blend_backward_pallas(packed, tile_bounds, out, cot, n_tiles,
-                                  tiles_x, tile_size, chunk_size, interpret,
-                                  row_offset)
-    in_use = _written_mask(out, tile_bounds, n_tiles, chunk_size,
-                           packed.shape[1])
-    grads = jnp.where(in_use[None, :], grads, 0.0)
-    return grads, _float0_like(tile_bounds)
-
-
-_blend_pallas.defvjp(_blend_fwd, _blend_bwd)
 
 
 def _pack(gauss_rows, order, rank_aligned):
@@ -118,7 +72,8 @@ def _pack(gauss_rows, order, rank_aligned):
 def _pack_blend(gauss_rows, order, inv_order, rank_aligned, tile_bounds,
                 perm, seg_bounds, n_tiles: int, tiles_x: int, tile_size: int,
                 chunk_size: int, interpret: bool, row_offset: int):
-    """Gather+blend with a segment-sum backward.
+    """Gather+blend with a segment-sum backward. Returns channel-major
+    [OUTC, n_tiles*PIX] (rgb + final T).
 
     The naive backward of the instance gather is a [B_pad,9]→[G,9] scatter-add
     — index-bound and ~30 ms at 1.5M instances (XLA serializes colliding
@@ -127,34 +82,33 @@ def _pack_blend(gauss_rows, order, inv_order, rank_aligned, tile_bounds,
     contiguous, and reduce with one cumsum + two boundary row-gathers
     (`seg_bounds`).
     """
-    out = blend_forward_pallas(_pack(gauss_rows, order, rank_aligned),
-                               tile_bounds, n_tiles, tiles_x, tile_size,
-                               chunk_size, interpret, row_offset)
-    # slice to image channels INSIDE the vjp: the backward cotangent then
-    # arrives as [n_tiles, PIX, 4] — no 4→8 channel pad, half the cot DMA
-    return out[:n_tiles, :, 0:4]
+    out, _ = blend_forward_pallas(_pack(gauss_rows, order, rank_aligned),
+                                  tile_bounds, n_tiles, tiles_x, tile_size,
+                                  chunk_size, interpret, row_offset)
+    return out[:, :n_tiles * PIX]
 
 
 def _pack_blend_fwd(gauss_rows, order, inv_order, rank_aligned,
                     tile_bounds, perm, seg_bounds, n_tiles, tiles_x,
                     tile_size, chunk_size, interpret, row_offset):
     packed = _pack(gauss_rows, order, rank_aligned)
-    out = blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
-                               tile_size, chunk_size, interpret, row_offset)
-    res = (packed, tile_bounds, out, perm, seg_bounds, inv_order,
+    out, wm = blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
+                                   tile_size, chunk_size, interpret,
+                                   row_offset)
+    res = (packed, tile_bounds, out, wm, perm, seg_bounds, inv_order,
            gauss_rows.shape[0])
-    return out[:n_tiles, :, 0:4], res
+    return out[:, :n_tiles * PIX], res
 
 
 def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
                     row_offset, res, cot):
-    packed, tile_bounds, out, perm, seg_bounds, inv_order, G = res
-    grads = blend_backward_pallas(packed, tile_bounds, out, cot, n_tiles,
+    packed, tile_bounds, out, wm, perm, seg_bounds, inv_order, G = res
+    # every aligned slot `perm` can reference is kernel-written (analytic
+    # gradients, in-kernel zeros past the watermark, exact zeros for fillers)
+    # — no written-mask pass needed (see tile_kernel.blend_backward_pallas)
+    grads = blend_backward_pallas(packed, tile_bounds, out, wm, cot, n_tiles,
                                   tiles_x, tile_size, chunk_size, interpret,
                                   row_offset)                  # [PACK, B_pad]
-    in_use = _written_mask(out, tile_bounds, n_tiles, chunk_size,
-                           packed.shape[1])
-    g16 = jnp.where(in_use[None, :], grads, 0.0)
     # materialize the row-major view behind a barrier: without it XLA fuses
     # the transpose INTO the downstream gather/cumsum, which then run in
     # column-major layout (~6 ms instead of a bandwidth-bound copy).
@@ -162,7 +116,7 @@ def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
     # gather fast path (see _pack), rows 9..15 are exact zeros from the
     # kernel, and the cumsum is pass-count-bound, not width-bound (measured
     # equal at 9 vs 16 columns).
-    gRM = jax.lax.optimization_barrier(g16.T)                  # [B_pad, PACK]
+    gRM = jax.lax.optimization_barrier(grads.T)                # [B_pad, PACK]
     gT = jnp.concatenate([gRM, jnp.zeros((1, PACK), grads.dtype)])
     g_depth = gT[perm]                   # [B,PACK]; dropped slots → zero row
     cs = jnp.concatenate([jnp.zeros((1, PACK), grads.dtype),
@@ -262,9 +216,11 @@ def rasterize(
         tiles = _pack_blend(gauss_rows, inst.order, inst.inv_order,
                             inst.rank_aligned, inst.tile_bounds, inst.perm,
                             inst.seg_bounds, n_tiles, tiles_x, tile_size,
-                            chunk_size, interpret, row0)  # [n_tiles, PIX, 4]
-        full = tiles.reshape(band_rows, tiles_x, tile_size, tile_size, 4)
-        full = full.transpose(4, 0, 2, 1, 3).reshape(
+                            chunk_size, interpret, row0)  # [4, n_tiles*PIX]
+        # channel-major kernel output: per-channel tile untiling only (the
+        # channel axis is already major — no minor-dim-4 transpose)
+        full = tiles.reshape(4, band_rows, tiles_x, tile_size, tile_size)
+        full = full.transpose(0, 1, 3, 2, 4).reshape(
             4, band_rows * tile_size, tiles_x * tile_size)
         img = full[0:3, :band_h, :width]
         final_t = full[3, :band_h, :width]

@@ -13,15 +13,30 @@ interface reconstructed in SURVEY.md §2.9). TPU-first design:
   tiling, which rules out streaming a row-major [B_pad, 16] table directly.)
 - The sequential front-to-back transmittance recurrence is restated as an
   exclusive prefix sum of log(1-alpha) along the chunk axis, computed with a
-  triangular matmul on the MXU; color accumulation is a [PIX,C]@[C,3] matmul.
-  No atomics, no per-pixel scalar loops.
+  triangular matmul on the MXU; color accumulation is a [3,C]@[C,PIX] matmul
+  emitting CHANNEL-MAJOR pixels. No atomics, no per-pixel scalar loops.
+- Outputs are channel-major [4, n_tiles*PIX]: an output row uses all 128
+  lanes and the per-step output DMA is dense. (The previous [*, PIX, 8]
+  layout put the 8 channels on the lane axis — 8/128 lanes live in every
+  epilogue vreg and 32-byte strided output DMAs; measured ~0.6 us/tile of
+  pure epilogue floor.) The per-tile chunk watermark is a separate scalar
+  output, not an image channel.
+- Chunk DMA is v4-style (scripts/kvariants.py): chunk 0 is issued and awaited
+  inside the loop body, the next chunk double-buffers behind compute. A
+  step-level cross-tile prefetch stage was measured SLOWER than this (~4 ms
+  at 3600 one-chunk tiles): its extra bounds reads, conditional DMA starts
+  and VMEM->VMEM landing copies cost more than the HBM latency it hides.
 - Backward replays chunks front-to-back (not back-to-front like CUDA): the
   suffix color sum S_i needed for dL/dalpha is recovered from the saved final
   accumulated color minus an inclusive prefix — forward residuals are just
   the forward outputs.
 - Per-instance gradients go to disjoint lane segments of a [16, B_pad] HBM
-  buffer, then reach per-gaussian form via the autodiff transpose of the
-  instance gather (an XLA segment-sum over depth-contiguous rows).
+  buffer through an NG-deep DMA ring, then reach per-gaussian form via the
+  autodiff transpose of the instance gather (an XLA segment-sum over
+  depth-contiguous rows). Chunks the forward early-terminated away (past the
+  watermark) are zeroed IN-KERNEL by DMAs from a zero buffer, so the XLA side
+  needs no written-mask pass: every aligned slot the gradient reduce can
+  reference is kernel-written.
 
 Component row layout (16 rows; Mosaic DMA slices must be sublane-aligned to 8,
 and the kernel is chunk-overhead/VPU-bound, not DMA-bandwidth-bound, so the pad
@@ -43,8 +58,10 @@ from contextgs_tpu.ops.rasterize.common import (ALPHA_EPS, LOG_T_EPS,  # noqa: F
 
 PACK = 16          # instance component rows (sublane-tiling multiple of 8)
 PIX = 256          # pixels per 16x16 tile
-OUTC = 8           # output channels per pixel: rgb, T, watermark (x4)
+OUTC = 4           # output channels per pixel: rgb + final T (channel-major)
 ET_MIN_CHUNKS = 2  # segments at most this long skip the early-term check
+NG = 4             # backward gradient out-DMA ring depth
+TILES_PER_STEP = 8  # grid steps carry fixed overhead (~30 us); batch tiles
 
 
 def _pixel_basis(tile_size: int):
@@ -92,6 +109,13 @@ def _tri(c: int, strict: bool) -> jnp.ndarray:
     return ((i < j) if strict else (i <= j)).astype(jnp.bfloat16)
 
 
+def _eye_bf16(n: int) -> jnp.ndarray:
+    """[n,n] bf16 identity for MXU transposes of narrow columns."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (i == j).astype(jnp.bfloat16)
+
+
 def _split3(x: jnp.ndarray):
     """f32 → (hi, mid, lo) bf16 with hi+mid+lo == x to ~2^-27 relative.
 
@@ -128,6 +152,14 @@ def _dot3(a, b, dims, split: str):
 def _scan_matmul(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     """Lane prefix sum of [PIX,C] via the MXU: x @ tri (bf16x3 passes)."""
     return _dot3(x, tri, (((1,), (0,)), ((), ())), split="a")
+
+
+def _col2row(x: jnp.ndarray, eye: jnp.ndarray) -> jnp.ndarray:
+    """[N,k] → [k,N] exact transpose via the MXU (x split bf16x3 against the
+    0/1 identity). A [N,1] f32 column occupies N/8 vregs at 1/128 lane use;
+    Mosaic's generic relayout of that shape is a long shuffle ladder, while
+    this is 3 skinny MXU passes."""
+    return _dot3(x, eye, (((0,), (0,)), ((), ())), split="a")
 
 
 def _chunk_coef(data, cx, cy):
@@ -174,58 +206,30 @@ def _power_alpha(P, coef, op, exact_p: bool = True):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _first_chunk_prefetch(bounds_ref, packed_hbm, pf, sem_pf, step, C,
-                          tiles_per_step):
-    """Issue chunk-0 DMAs for every tile of this grid step up front.
-
-    Tile segments average only ~1-2 chunks, so without this each tile's first
-    DMA is issued and immediately waited on — the full HBM latency lands on
-    the critical path once per tile. Prefetching all first chunks at step
-    start hides that latency behind earlier tiles' compute."""
-    for j in range(tiles_per_step):
-        t = step * tiles_per_step + j
-        start = bounds_ref[t]
-
-        @pl.when(bounds_ref[t + 1] > start)
-        def _():
-            off = pl.multiple_of(start, 128)
-            pltpu.make_async_copy(packed_hbm.at[:, pl.ds(off, C)],
-                                  pf.at[j], sem_pf.at[j]).start()
-
-
-def _fwd_kernel(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf, *,
+def _fwd_kernel(bounds_ref, packed_hbm, out_ref, wm_ref, chunk, sem, *,
                 chunk_size: int, tiles_x: int, tile_size: int,
                 row_offset: int, tiles_per_step: int):
     step = pl.program_id(0)
     C = chunk_size
-    _first_chunk_prefetch(bounds_ref, packed_hbm, pf, sem_pf, step, C,
-                          tiles_per_step)
     tri = _tri(C, strict=True)
     P = _pixel_basis(tile_size)
+    eye = _eye_bf16(PIX)
     for j in range(tiles_per_step):
         t = step * tiles_per_step + j
-        _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem,
-                      sem_pf, t, j, C, tiles_x, tile_size, row_offset, tri, P)
+        _fwd_one_tile(bounds_ref, packed_hbm, out_ref, wm_ref, chunk, sem,
+                      t, j, C, tiles_x, tile_size, row_offset, tri, P, eye)
 
 
-def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
-                  t, j, C, tiles_x, tile_size, row_offset, tri, P):
+def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, wm_ref, chunk, sem,
+                  t, j, C, tiles_x, tile_size, row_offset, tri, P, eye):
     start = bounds_ref[t]
-    end = bounds_ref[t + 1]
+    nchunks = (bounds_ref[t + 1] - start) // C   # segments are multiples of C
     cx, cy = _tile_center(t, tiles_x, tile_size, row_offset)
-    nchunks = (end - start) // C       # segments are exact multiples of C
 
     def dma(slot, ci):
         off = pl.multiple_of(start + ci * C, 128)
         return pltpu.make_async_copy(packed_hbm.at[:, pl.ds(off, C)],
                                      chunk.at[slot], sem.at[slot])
-
-    @pl.when(nchunks > 0)
-    def _():
-        # chunk 0 was prefetched at step start; land it in the slot-0 buffer
-        pltpu.make_async_copy(packed_hbm.at[:, pl.ds(0, C)], pf.at[j],
-                              sem_pf.at[j]).wait()
-        chunk[0] = pf[j]
 
     def cond(state):
         ci, t_run, _ = state
@@ -239,14 +243,16 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
     def body(state):
         ci, t_run, rgb = state
         slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci == 0)
+        def _():
+            dma(0, 0).start()
+
         # prefetch the next chunk while this one computes (double buffering)
         @pl.when(ci + 1 < nchunks)
         def _():
             dma(1 - slot, ci + 1).start()
-        # chunk 0 is already resident (step-start prefetch)
-        @pl.when(ci > 0)
-        def _():
-            dma(slot, ci).wait()
+        dma(slot, ci).wait()
 
         coef, row = _chunk_coef(chunk[slot], cx, cy)
         _, _, _, alpha = _power_alpha(P, coef, row["op"],
@@ -261,29 +267,27 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
         t_before = t_run * jnp.exp(s_excl)   # T before instance i
         tcum = t_before * one_m              # T after instance i
         include = tcum >= T_EPS
-        w = jnp.where(include, alpha, 0.0) * t_before
-        col = chunk[slot, 6:9, :]                            # [3,C]
+        w = jnp.where(include, alpha, 0.0) * t_before      # [PIX,C]
+        col = chunk[slot, 6:9, :]                          # [3,C]
+        # channel-major accumulation: [3,C] x [PIX,C] contracting C → [3,PIX]
         rgb = rgb + jax.lax.dot_general(
-            w, col, (((1,), (1,)), ((), ())),
+            col, w, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)              # [PIX,3]
+            preferred_element_type=jnp.float32)            # [3,PIX]
         t_run = jnp.min(jnp.where(include, tcum, t_run), axis=1,
                         keepdims=True)
         return ci + 1, t_run, rgb
 
     t0 = jnp.ones((PIX, 1), jnp.float32)
-    rgb0 = jnp.zeros((PIX, 3), jnp.float32)
+    rgb0 = jnp.zeros((3, PIX), jnp.float32)
 
     def epilogue(ci_end, t_run, rgb):
-        # channels 4..7: chunks processed (watermark) — the backward runs
-        # exactly this many chunks (fori, no per-chunk sync) and the XLA side
-        # masks the never-written gradient region past it. Built from as few
-        # concat pieces as possible: every [PIX,1]-narrow op here uses 1/128
-        # of the VPU lanes, and the epilogue runs once per tile SLOT — it is
-        # the kernel's fixed floor (~0.6 us/tile measured), so no logT
-        # channel, no zero-pad pieces.
-        wm = jnp.broadcast_to(ci_end.astype(jnp.float32), (PIX, OUTC - 4))
-        out_ref[j] = jnp.concatenate([rgb, t_run, wm], axis=1)
+        # the backward replays exactly ci_end chunks (fori, no per-chunk
+        # sync) and zeroes the gradient region past it in-kernel
+        wm_ref[t] = ci_end
+        t_row = _col2row(t_run, eye)                       # [1,PIX]
+        out_ref[:, j * PIX:(j + 1) * PIX] = jnp.concatenate([rgb, t_row],
+                                                            axis=0)
 
     # Short segments (the common case: segments average 1-2 chunks) run a
     # fori_loop with no early-termination check — the check's vector→scalar
@@ -293,9 +297,8 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
     # executes.
     @pl.when(nchunks <= ET_MIN_CHUNKS)
     def _():
-        _, t_run, rgb = jax.lax.fori_loop(
-            0, nchunks, lambda ci, st: body((ci,) + st[1:]),
-            (jnp.int32(0), t0, rgb0))
+        t_run, rgb = jax.lax.fori_loop(
+            0, nchunks, lambda ci, st: body((ci,) + st)[1:], (t0, rgb0))
         epilogue(nchunks, t_run, rgb)
 
     @pl.when(nchunks > ET_MIN_CHUNKS)
@@ -311,18 +314,17 @@ def _fwd_one_tile(bounds_ref, packed_hbm, out_ref, chunk, pf, sem, sem_pf,
         epilogue(ci_end, t_run, rgb)
 
 
-TILES_PER_STEP = 8   # grid steps carry fixed overhead (~30 us); batch tiles
-
-
 def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
                          n_tiles: int, tiles_x: int, tile_size: int,
                          chunk_size: int, interpret: bool,
-                         row_offset: int = 0) -> jnp.ndarray:
+                         row_offset: int = 0):
     """packed [PACK, B_pad] f32, tile_bounds [n_tiles_pad+1] i32 →
-    [n_tiles_pad, PIX, OUTC] with n_tiles_pad = ceil(n_tiles/TILES_PER_STEP).
+    (out [OUTC, n_tiles_pad*PIX] f32, watermark [n_tiles_pad] i32)
+    with n_tiles_pad = ceil(n_tiles/TILES_PER_STEP)·TILES_PER_STEP.
 
-    Output channels: 0-2 accumulated RGB (no background), 3 final T,
-    4-7 per-tile chunk watermark (broadcast).
+    Output rows: 0-2 accumulated RGB (no background), 3 final T — pixels
+    channel-major (tile-major within a row). The watermark is the per-tile
+    processed-chunk count (early termination).
     """
     tb = TILES_PER_STEP
     n_steps = -(-n_tiles // tb)
@@ -338,19 +340,21 @@ def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((tb, PIX, OUTC), lambda i, b: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((OUTC, tb * PIX), lambda i, b: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, PACK, chunk_size), jnp.float32),
-            pltpu.VMEM((tb, PACK, chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((tb,)),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, PIX, OUTC), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((OUTC, n_pad * PIX), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad,), jnp.int32)],
         interpret=interpret,
     )(tile_bounds, packed)
 
@@ -360,27 +364,30 @@ def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
-                chunk, gchunk, pf, sem_in, sem_out, sem_pf, *,
+                chunk, gchunk, zbuf, sem_in, sem_out, sem_z, *,
                 chunk_size: int, tiles_x: int, tile_size: int,
                 row_offset: int, tiles_per_step: int):
-    step = pl.program_id(0)
     C = chunk_size
-    _first_chunk_prefetch(bounds_ref, packed_hbm, pf, sem_pf, step, C,
-                          tiles_per_step)
+    step = pl.program_id(0)
+    # zero source for the post-watermark region; rewritten every step (cheap)
+    # so no cross-step scratch-persistence assumption is needed
+    zbuf[...] = jnp.zeros_like(zbuf)
     tri_s = _tri(C, strict=True)
     tri_i = _tri(C, strict=False)
     P = _pixel_basis(tile_size)
     for j in range(tiles_per_step):
         t = step * tiles_per_step + j
         _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref,
-                      grad_hbm, chunk, gchunk, pf, sem_in, sem_out, sem_pf,
-                      t, j, C, tiles_x, tile_size, row_offset, tri_s, tri_i, P)
+                      grad_hbm, chunk, gchunk, zbuf, sem_in, sem_out, sem_z,
+                      t, j, C, tiles_x, tile_size, row_offset,
+                      tri_s, tri_i, P)
 
 
 def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
-                  chunk, gchunk, pf, sem_in, sem_out, sem_pf, t, j, C,
-                  tiles_x, tile_size, row_offset, tri_s, tri_i, P):
+                  chunk, gchunk, zbuf, sem_in, sem_out, sem_z,
+                  t, j, C, tiles_x, tile_size, row_offset, tri_s, tri_i, P):
     start = bounds_ref[t]
+    nchunks = (bounds_ref[t + 1] - start) // C
     cx, cy = _tile_center(t, tiles_x, tile_size, row_offset)
 
     d_rgb = cot_ref[j, :, 0:3]                       # [PIX,3] dL/d accum rgb
@@ -396,144 +403,166 @@ def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                                      chunk.at[slot], sem_in.at[slot])
 
     # the forward recorded how many chunks it processed (the watermark,
-    # passed in as a prefetched SMEM scalar — reading it out of the VMEM fwd
-    # block would be a vector→scalar sync per tile); replay exactly that many
-    # chunks with a fori_loop — no per-chunk vector→scalar early-termination
-    # sync, no wasted chunks past saturation. Gradients of every chunk past
-    # the watermark are exactly zero (excluded instances); the XLA side masks
-    # that never-written region of grad_hbm.
+    # prefetched SMEM scalars); replay exactly that many chunks with a
+    # fori_loop — no per-chunk vector→scalar early-termination sync, no
+    # wasted chunks past saturation. Chunks past the watermark hold excluded
+    # instances (true gradient zero): zeroed by zbuf DMAs below.
     wm = wm_ref[t]
-
-    @pl.when(wm > 0)
-    def _():
-        # chunk 0 was prefetched at step start; land it in the slot-0 buffer
-        pltpu.make_async_copy(packed_hbm.at[:, pl.ds(0, C)], pf.at[j],
-                              sem_pf.at[j]).wait()
-        chunk[0] = pf[j]
 
     def body(state):
         ci, t_run, pref_u = state
         slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci == 0)
+        def _():
+            dma_in(0, 0).start()
+
         @pl.when(ci + 1 < wm)
         def _():
             dma_in(1 - slot, ci + 1).start()
-        # chunk 0 is already resident (step-start prefetch)
-        @pl.when(ci > 0)
-        def _():
-            dma_in(slot, ci).wait()
+        dma_in(slot, ci).wait()
 
-        def compute(carry):
-            t_run, pref_u = carry
-            coef, row = _chunk_coef(chunk[slot], cx, cy)
-            power, _, raw, alpha0 = _power_alpha(P, coef, row["op"],
-                                                 exact_p=tile_size <= 16)
-            one_m = 1.0 - alpha0
-            # log-domain transmittance on the MXU, identical to the forward
-            T_i = t_run * jnp.exp(_scan_matmul(jnp.log1p(-alpha0), tri_s))
-            tcum = T_i * one_m
-            include = tcum >= T_EPS                  # single scan (see fwd)
-            alpha = jnp.where(include, alpha0, 0.0)
-            w = alpha * T_i                          # 0 for excluded [PIX,C]
+        coef, row = _chunk_coef(chunk[slot], cx, cy)
+        power, _, raw, alpha0 = _power_alpha(P, coef, row["op"],
+                                             exact_p=tile_size <= 16)
+        one_m = 1.0 - alpha0
+        # log-domain transmittance on the MXU, identical to the forward
+        T_i = t_run * jnp.exp(_scan_matmul(jnp.log1p(-alpha0), tri_s))
+        tcum = T_i * one_m
+        include = tcum >= T_EPS                  # single scan (see fwd)
+        alpha = jnp.where(include, alpha0, 0.0)
+        w = alpha * T_i                          # 0 for excluded [PIX,C]
 
-            col = chunk[slot, 6:9, :]                # [3,C]
-            u = jnp.dot(d_rgb, col, precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)      # [PIX,C]
-            uw = u * w
-            prefix = pref_u + _scan_matmul(uw, tri_i)
-            s_dot = q - prefix                       # (S_i · dL/dC) per (p,i)
-            inv_1m = 1.0 / (1.0 - alpha)
-            d_alpha = T_i * u - s_dot * inv_1m - (g_t * final_t) * inv_1m
+        col = chunk[slot, 6:9, :]                # [3,C]
+        u = jnp.dot(d_rgb, col, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # [PIX,C]
+        uw = u * w
+        prefix = pref_u + _scan_matmul(uw, tri_i)
+        s_dot = q - prefix                       # (S_i · dL/dC) per (p,i)
+        inv_1m = 1.0 / (1.0 - alpha)
+        d_alpha = T_i * u - s_dot * inv_1m - (g_t * final_t) * inv_1m
 
-            active = (alpha > 0.0) & (raw < MAX_ALPHA) & (power < 0.0)
-            d_alpha = jnp.where(active, d_alpha, 0.0)
-            d_power = d_alpha * raw                  # = d_alpha·op·gauss
+        active = (alpha > 0.0) & (raw < MAX_ALPHA) & (power < 0.0)
+        d_alpha = jnp.where(active, d_alpha, 0.0)
+        d_power = d_alpha * raw                  # = d_alpha·op·gauss
 
-            # per-instance gradients through the quadratic coefficients: one
-            # [PIX,8]ᵀ@[PIX,C] matmul replaces six sublane reductions
-            dims_pc = (((0,), (0,)), ((), ()))
-            if tile_size <= 16:          # P exactly bf16 → 3-pass (see _dot3)
-                d_coef = _dot3(P, d_power, dims_pc, split="b")
-            else:
-                d_coef = jax.lax.dot_general(
-                    P, d_power, dims_pc,
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)  # [8,C]
-            d_c0, d_c1, d_c2 = d_coef[0:1], d_coef[1:2], d_coef[2:3]
-            d_c3, d_c4, d_c5 = d_coef[3:4], d_coef[4:5], d_coef[5:6]
-            mx, my = row["mx"], row["my"]
-            ca, cb, cc, op = row["ca"], row["cb"], row["cc"], row["op"]
-            rows = [
-                -d_c0 * (ca * mx + cb * my) + d_c1 * ca + d_c2 * cb,
-                -d_c0 * (cc * my + cb * mx) + d_c1 * cb + d_c2 * cc,
-                d_c0 * (-0.5 * mx * mx) + d_c1 * mx - 0.5 * d_c3,
-                d_c0 * (-mx * my) + d_c1 * my + d_c2 * mx - d_c5,
-                d_c0 * (-0.5 * my * my) + d_c2 * my - 0.5 * d_c4,
-                jnp.where(op > 0.0, d_c0 / jnp.maximum(op, ALPHA_EPS), 0.0),
-            ]
-            d_col = jax.lax.dot_general(
-                d_rgb, w, (((0,), (0,)), ((), ())),
+        # per-instance gradients through the quadratic coefficients: one
+        # [PIX,8]ᵀ@[PIX,C] matmul replaces six sublane reductions
+        dims_pc = (((0,), (0,)), ((), ()))
+        if tile_size <= 16:          # P exactly bf16 → 3-pass (see _dot3)
+            d_coef = _dot3(P, d_power, dims_pc, split="b")
+        else:
+            d_coef = jax.lax.dot_general(
+                P, d_power, dims_pc,
                 precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # [3,C]
-            gvals = jnp.concatenate(
-                rows + [d_col, jnp.zeros((PACK - 9, C), jnp.float32)], axis=0)
-            t_run = jnp.min(jnp.where(include, tcum, t_run), axis=1,
-                            keepdims=True)
-            pref_u = pref_u + jnp.sum(uw, axis=1, keepdims=True)
-            return t_run, pref_u, gvals
+                preferred_element_type=jnp.float32)  # [8,C]
+        d_c0, d_c1, d_c2 = d_coef[0:1], d_coef[1:2], d_coef[2:3]
+        d_c3, d_c4, d_c5 = d_coef[3:4], d_coef[4:5], d_coef[5:6]
+        mx, my = row["mx"], row["my"]
+        ca, cb, cc, op = row["ca"], row["cb"], row["cc"], row["op"]
+        rows = [
+            -d_c0 * (ca * mx + cb * my) + d_c1 * ca + d_c2 * cb,
+            -d_c0 * (cc * my + cb * mx) + d_c1 * cb + d_c2 * cc,
+            d_c0 * (-0.5 * mx * mx) + d_c1 * mx - 0.5 * d_c3,
+            d_c0 * (-mx * my) + d_c1 * my + d_c2 * mx - d_c5,
+            d_c0 * (-0.5 * my * my) + d_c2 * my - 0.5 * d_c4,
+            jnp.where(op > 0.0, d_c0 / jnp.maximum(op, ALPHA_EPS), 0.0),
+        ]
+        d_col = jax.lax.dot_general(
+            d_rgb, w, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # [3,C]
+        gvals = jnp.concatenate(
+            rows + [d_col, jnp.zeros((PACK - 9, C), jnp.float32)], axis=0)
+        t_run = jnp.min(jnp.where(include, tcum, t_run), axis=1,
+                        keepdims=True)
+        pref_u = pref_u + jnp.sum(uw, axis=1, keepdims=True)
 
-        t_run, pref_u, gvals = compute((t_run, pref_u))
-        # double-buffered output DMA: wait for this slot's previous transfer
-        # (two chunks ago) before overwriting, never for the one just issued
-        @pl.when(ci >= 2)
+        # NG-deep output DMA ring: wait for this slot's transfer from NG
+        # chunks ago before overwriting, never for the one just issued
+        gs = jax.lax.rem(ci, NG)
+
+        @pl.when(ci >= NG)
         def _():
-            pltpu.make_async_copy(gchunk.at[slot], gchunk.at[slot],
-                                  sem_out.at[slot]).wait()
-        gchunk[slot] = gvals
+            pltpu.make_async_copy(gchunk.at[gs], gchunk.at[gs],
+                                  sem_out.at[gs]).wait()
+        gchunk[gs] = gvals
         off = pl.multiple_of(start + ci * C, 128)
-        pltpu.make_async_copy(gchunk.at[slot], grad_hbm.at[:, pl.ds(off, C)],
-                              sem_out.at[slot]).start()
+        pltpu.make_async_copy(gchunk.at[gs], grad_hbm.at[:, pl.ds(off, C)],
+                              sem_out.at[gs]).start()
         return ci + 1, t_run, pref_u
 
-    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
-            jnp.zeros((PIX, 1), jnp.float32))
-    ci_end, _, _ = jax.lax.fori_loop(
-        0, wm, lambda ci, st: body((ci,) + st[1:]), init)
+    init = (jnp.ones((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
+    jax.lax.fori_loop(0, wm, lambda ci, st: body((ci,) + st)[1:], init)
 
-    # drain the (up to two) outstanding gradient DMAs before the next tile
+    # drain the (up to NG) outstanding gradient DMAs before the next tile
     # reuses the gchunk slots
-    @pl.when(ci_end >= 2)
-    def _():
-        s = jax.lax.rem(ci_end - 2, 2)
-        pltpu.make_async_copy(gchunk.at[s], gchunk.at[s], sem_out.at[s]).wait()
+    for k in range(NG):
+        @pl.when(wm > k)
+        def _(k=k):
+            s = jax.lax.rem(wm - 1 - k, NG)
+            pltpu.make_async_copy(gchunk.at[s], gchunk.at[s],
+                                  sem_out.at[s]).wait()
 
-    @pl.when(ci_end >= 1)
-    def _():
-        s = jax.lax.rem(ci_end - 1, 2)
-        pltpu.make_async_copy(gchunk.at[s], gchunk.at[s], sem_out.at[s]).wait()
+    # zero the early-terminated region [wm·C, nchunks·C): excluded instances'
+    # true gradient. zbuf is read-only source; its own small DMA ring.
+    nz = nchunks - wm
+
+    def zbody(zi, _):
+        zs = jax.lax.rem(zi, NG)
+
+        @pl.when(zi >= NG)
+        def _():
+            pltpu.make_async_copy(zbuf, zbuf, sem_z.at[zs]).wait()
+        off = pl.multiple_of(start + (wm + zi) * C, 128)
+        pltpu.make_async_copy(zbuf, grad_hbm.at[:, pl.ds(off, C)],
+                              sem_z.at[zs]).start()
+        return 0
+
+    jax.lax.fori_loop(0, nz, zbody, 0)
+    for k in range(NG):
+        @pl.when(nz > k)
+        def _(k=k):
+            s = jax.lax.rem(nz - 1 - k, NG)
+            pltpu.make_async_copy(zbuf, zbuf, sem_z.at[s]).wait()
 
 
 def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
-                          fwd_out: jnp.ndarray, cotangent: jnp.ndarray,
+                          fwd_out: jnp.ndarray, watermarks: jnp.ndarray,
+                          cotangent: jnp.ndarray,
                           n_tiles: int, tiles_x: int, tile_size: int,
                           chunk_size: int, interpret: bool,
                           row_offset: int = 0) -> jnp.ndarray:
-    """Per-instance gradient table [PACK, B_pad] (same layout as packed)."""
+    """Per-instance gradient table [PACK, B_pad] (same layout as packed).
+
+    fwd_out/cotangent arrive channel-major [OUTC, n*PIX] (the forward's
+    layout); the kernel consumes them tile-major [n_pad, PIX, OUTC] — the
+    relayout is a cheap XLA transpose at image scale (~15 MB), far cheaper
+    than per-tile lane↔sublane relayouts inside the kernel. Every aligned
+    slot reachable through `perm` is written: processed chunks get analytic
+    gradients, early-terminated chunks get explicit zeros (in-kernel DMA),
+    alignment fillers inside chunks get exact zeros from the math (zero rows
+    → zero opacity → zero gradient).
+    """
     tb = TILES_PER_STEP
     n_steps = -(-n_tiles // tb)
     n_pad = n_steps * tb
     tile_bounds = jnp.concatenate(
         [tile_bounds,
          jnp.broadcast_to(tile_bounds[-1:], (n_pad - n_tiles,))])
+
+    def to_tiles(x):  # [OUTC, n*PIX] → [n_pad, PIX, OUTC]
+        n = x.shape[1] // PIX
+        x = x.reshape(OUTC, n, PIX).transpose(1, 2, 0)
+        if n < n_pad:   # padded tiles are never read (watermark 0)
+            x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
+        return x
+
+    fwd_tiles = to_tiles(fwd_out)
+    cot_tiles = to_tiles(cotangent)
     kernel = functools.partial(_bwd_kernel, chunk_size=chunk_size,
                                tiles_x=tiles_x, tile_size=tile_size,
                                row_offset=row_offset, tiles_per_step=tb)
-    watermarks = fwd_out[:, 0, 4].astype(jnp.int32)
-    # the cotangent may arrive with only the 4 image channels (rgb + T) and
-    # only n_tiles rows — padded-tile rows are never read (watermark 0)
-    cotc = cotangent.shape[-1]
-    if cotangent.shape[0] < n_pad:
-        cotangent = jnp.pad(
-            cotangent, ((0, n_pad - cotangent.shape[0]), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
@@ -541,17 +570,17 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((tb, PIX, OUTC), lambda i, b, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, PIX, cotc), lambda i, b, w: (i, 0, 0),
+            pl.BlockSpec((tb, PIX, OUTC), lambda i, b, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, PACK, chunk_size), jnp.float32),
-            pltpu.VMEM((2, PACK, chunk_size), jnp.float32),
-            pltpu.VMEM((tb, PACK, chunk_size), jnp.float32),
+            pltpu.VMEM((NG, PACK, chunk_size), jnp.float32),
+            pltpu.VMEM((PACK, chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((tb,)),
+            pltpu.SemaphoreType.DMA((NG,)),
+            pltpu.SemaphoreType.DMA((NG,)),
         ],
     )
     return pl.pallas_call(
@@ -560,4 +589,4 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_bounds, watermarks, packed, fwd_out, cotangent)
+    )(tile_bounds, watermarks, packed, fwd_tiles, cot_tiles)

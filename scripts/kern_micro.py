@@ -59,23 +59,24 @@ def main():
         assert b[-1] <= b_pad, (b[-1], b_pad)
         return jnp.asarray(b)
 
-    cot = jnp.ones((n_tiles, PIX, 4), jnp.float32)
+    cot = jnp.ones((OUTC, n_tiles * PIX), jnp.float32)
     ITERS = args.iters
 
     @jax.jit
     def fwd_n(p, b):
         def body(i, acc):
             pp = p + 1e-30 * acc
-            out = blend_forward_pallas(pp, b, n_tiles, tiles_x, TILE, C, False)
-            return 0.5 * acc + 1e-20 * jnp.sum(out[:, 0, 0])
+            out, _ = blend_forward_pallas(pp, b, n_tiles, tiles_x, TILE, C,
+                                          False)
+            return 0.5 * acc + 1e-20 * jnp.sum(out[0, ::PIX])
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
 
     @jax.jit
-    def bwd_n(p, b, f, c):
+    def bwd_n(p, b, f, w, c):
         def body(i, acc):
             pp = p + 1e-30 * acc
-            g = blend_backward_pallas(pp, b, f, c, n_tiles, tiles_x, TILE, C,
-                                      False)
+            g = blend_backward_pallas(pp, b, f, w, c, n_tiles, tiles_x, TILE,
+                                      C, False)
             return 0.5 * acc + 1e-20 * jnp.sum(g[0, ::1024])
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
 
@@ -96,10 +97,10 @@ def main():
         t0 = time.time()
         fetch(fwd_n(packed, b))
         dt_f = (time.time() - t0) / ITERS * 1e3
-        out = fwd1(packed, b)
-        fetch(bwd_n(packed, b, out, cot))
+        out, wm = fwd1(packed, b)
+        fetch(bwd_n(packed, b, out, wm, cot))
         t0 = time.time()
-        fetch(bwd_n(packed, b, out, cot))
+        fetch(bwd_n(packed, b, out, wm, cot))
         dt_b = (time.time() - t0) / ITERS * 1e3
         print(f"{label}: fwd {dt_f:7.2f} ms   bwd {dt_b:7.2f} ms")
 

@@ -142,11 +142,10 @@ def main():
     packed = jax.jit(_pack)(gauss_rows, inst.order, inst.rank_aligned)
     fetch(packed)
 
-    fwd_out = jax.jit(lambda p, b: blend_forward_pallas(
+    fwd_out, wms = jax.jit(lambda p, b: blend_forward_pallas(
         p, b, n_tiles, tiles_x, TILE, CHUNK, False))(packed, inst.tile_bounds)
     fetch(fwd_out)
-    n_pad_tiles = fwd_out.shape[0]
-    cot = jnp.ones((n_tiles, 256, 4), jnp.float32)
+    cot = jnp.ones((4, n_tiles * 256), jnp.float32)
 
     def bwd_reduce(g16, perm, seg_bounds, inv_order):
         # mirror of _pack_blend_bwd's segment reduce (16-wide rows)
@@ -175,9 +174,9 @@ def main():
     total += timeit("blend fwd", lambda p, b: blend_forward_pallas(
         p, b, n_tiles, tiles_x, TILE, CHUNK, False), packed, inst.tile_bounds,
         iters=ITERS)
-    total += timeit("blend bwd", lambda p, f, c, b: blend_backward_pallas(
-        p, b, f, c, n_tiles, tiles_x, TILE, CHUNK, False),
-        packed, fwd_out, cot, inst.tile_bounds, iters=ITERS)
+    total += timeit("blend bwd", lambda p, f, w, c, b: blend_backward_pallas(
+        p, b, f, w, c, n_tiles, tiles_x, TILE, CHUNK, False),
+        packed, fwd_out, wms, cot, inst.tile_bounds, iters=ITERS)
     total += timeit("bwd segment reduce", bwd_reduce, packed,
                     inst.perm, inst.seg_bounds, inst.inv_order, iters=ITERS)
     total += timeit("projection vjp", proj_vjp, jargs[0], jargs[1], jargs[2],
