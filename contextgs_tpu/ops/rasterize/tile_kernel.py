@@ -375,27 +375,42 @@ def _bwd_kernel(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
     tri_s = _tri(C, strict=True)
     tri_i = _tri(C, strict=False)
     P = _pixel_basis(tile_size)
+    eye = _eye_bf16(PIX)
+    # the only two pixel-COLUMN quantities the chunk math needs per tile:
+    # q_p = (C_total·dL/dC)_p and (dL/dT_final·T_final)_p. Compute the rows
+    # channel-major for ALL tiles of the step, then ONE skinny MXU transpose
+    # of the [2·tb, PIX] stack — per-TILE [2,PIX] transposes cost nearly the
+    # same each (the [PIX,PIX] operand load dominates the pass), measured
+    # +1.3 ms at 3600 tiles.
+    q_rows = jnp.sum(cot_ref[:3, :] * fwd_ref[:3, :], axis=0, keepdims=True)
+    gt_rows = cot_ref[3:4, :] * fwd_ref[3:4, :]          # [1, tb*PIX]
+    qg = jnp.concatenate(
+        [jnp.concatenate([q_rows[:, j * PIX:(j + 1) * PIX],
+                          gt_rows[:, j * PIX:(j + 1) * PIX]], axis=0)
+         for j in range(tiles_per_step)], axis=0)        # [2·tb, PIX]
+    qg_cols = _dot3(eye, qg, (((1,), (1,)), ((), ())), split="b")  # [PIX,2tb]
     for j in range(tiles_per_step):
         t = step * tiles_per_step + j
         _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref,
                       grad_hbm, chunk, gchunk, zbuf, sem_in, sem_out, sem_z,
                       t, j, C, tiles_x, tile_size, row_offset,
-                      tri_s, tri_i, P)
+                      tri_s, tri_i, P, qg_cols[:, 2 * j:2 * j + 2])
 
 
 def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                   chunk, gchunk, zbuf, sem_in, sem_out, sem_z,
-                  t, j, C, tiles_x, tile_size, row_offset, tri_s, tri_i, P):
+                  t, j, C, tiles_x, tile_size, row_offset, tri_s, tri_i, P,
+                  qg_col):
     start = bounds_ref[t]
     nchunks = (bounds_ref[t + 1] - start) // C
     cx, cy = _tile_center(t, tiles_x, tile_size, row_offset)
 
-    d_rgb = cot_ref[j, :, 0:3]                       # [PIX,3] dL/d accum rgb
-    g_t = cot_ref[j, :, 3:4]                         # [PIX,1] dL/dT_final
-    final_rgb = fwd_ref[j, :, 0:3]                   # [PIX,3]
-    final_t = fwd_ref[j, :, 3:4]                     # [PIX,1]
-    # q_p = (C_total · dL/dC)_p
-    q = jnp.sum(final_rgb * d_rgb, axis=1, keepdims=True)   # [PIX,1]
+    # channel-major residuals/cotangents (the forward's native layout —
+    # consuming them directly kills the XLA [OUTC,n*PIX] → [n,PIX,OUTC]
+    # relayout fusions, ~2.8 ms at 3600 tiles):
+    d_rgb_cm = cot_ref[:3, j * PIX:(j + 1) * PIX]    # [3,PIX] dL/d accum rgb
+    q = qg_col[:, 0:1]                               # [PIX,1]
+    gtf = qg_col[:, 1:2]                             # [PIX,1] g_t·T_final
 
     def dma_in(slot, ci):
         off = pl.multiple_of(start + ci * C, 128)
@@ -434,13 +449,15 @@ def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
         w = alpha * T_i                          # 0 for excluded [PIX,C]
 
         col = chunk[slot, 6:9, :]                # [3,C]
-        u = jnp.dot(d_rgb, col, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # [PIX,C]
+        u = jax.lax.dot_general(
+            d_rgb_cm, col, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # [PIX,C]
         uw = u * w
         prefix = pref_u + _scan_matmul(uw, tri_i)
         s_dot = q - prefix                       # (S_i · dL/dC) per (p,i)
         inv_1m = 1.0 / (1.0 - alpha)
-        d_alpha = T_i * u - s_dot * inv_1m - (g_t * final_t) * inv_1m
+        d_alpha = T_i * u - s_dot * inv_1m - gtf * inv_1m
 
         active = (alpha > 0.0) & (raw < MAX_ALPHA) & (power < 0.0)
         d_alpha = jnp.where(active, d_alpha, 0.0)
@@ -469,7 +486,7 @@ def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
             jnp.where(op > 0.0, d_c0 / jnp.maximum(op, ALPHA_EPS), 0.0),
         ]
         d_col = jax.lax.dot_general(
-            d_rgb, w, (((0,), (0,)), ((), ())),
+            d_rgb_cm, w, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # [3,C]
         gvals = jnp.concatenate(
@@ -536,13 +553,15 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
     """Per-instance gradient table [PACK, B_pad] (same layout as packed).
 
     fwd_out/cotangent arrive channel-major [OUTC, n*PIX] (the forward's
-    layout); the kernel consumes them tile-major [n_pad, PIX, OUTC] — the
-    relayout is a cheap XLA transpose at image scale (~15 MB), far cheaper
-    than per-tile lane↔sublane relayouts inside the kernel. Every aligned
-    slot reachable through `perm` is written: processed chunks get analytic
-    gradients, early-terminated chunks get explicit zeros (in-kernel DMA),
-    alignment fillers inside chunks get exact zeros from the math (zero rows
-    → zero opacity → zero gradient).
+    layout) and are consumed channel-major per-tile blocks directly — the
+    only pixel-column quantities the chunk math needs (q and g_t·T_final)
+    are produced by one skinny MXU transpose per tile, which is far cheaper
+    than the XLA [OUTC,n·PIX]→[n,PIX,OUTC] relayout it replaces (~2.8 ms at
+    3600 tiles, measured round 3). Every aligned slot reachable through
+    `perm` is written: processed chunks get analytic gradients,
+    early-terminated chunks get explicit zeros (in-kernel DMA), alignment
+    fillers inside chunks get exact zeros from the math (zero rows → zero
+    opacity → zero gradient).
     """
     tb = TILES_PER_STEP
     n_steps = -(-n_tiles // tb)
@@ -551,15 +570,14 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
         [tile_bounds,
          jnp.broadcast_to(tile_bounds[-1:], (n_pad - n_tiles,))])
 
-    def to_tiles(x):  # [OUTC, n*PIX] → [n_pad, PIX, OUTC]
+    def pad_cm(x):  # [OUTC, n*PIX] → [OUTC, n_pad*PIX]
         n = x.shape[1] // PIX
-        x = x.reshape(OUTC, n, PIX).transpose(1, 2, 0)
         if n < n_pad:   # padded tiles are never read (watermark 0)
-            x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (0, (n_pad - n) * PIX)))
         return x
 
-    fwd_tiles = to_tiles(fwd_out)
-    cot_tiles = to_tiles(cotangent)
+    fwd_cm = pad_cm(fwd_out)
+    cot_cm = pad_cm(cotangent)
     kernel = functools.partial(_bwd_kernel, chunk_size=chunk_size,
                                tiles_x=tiles_x, tile_size=tile_size,
                                row_offset=row_offset, tiles_per_step=tb)
@@ -568,9 +586,9 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((tb, PIX, OUTC), lambda i, b, w: (i, 0, 0),
+            pl.BlockSpec((OUTC, tb * PIX), lambda i, b, w: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, PIX, OUTC), lambda i, b, w: (i, 0, 0),
+            pl.BlockSpec((OUTC, tb * PIX), lambda i, b, w: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -589,4 +607,4 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_bounds, watermarks, packed, fwd_tiles, cot_tiles)
+    )(tile_bounds, watermarks, packed, fwd_cm, cot_cm)

@@ -178,8 +178,8 @@ def main():
         q, t = orbit_camera(i - 1, args.cams, rng)
         images[i] = colmap.ColmapImage(i, q, t, 1, f"im_{i:04d}.png")
         # render GT through the repo's own camera math (same path training uses)
-        from contextgs_tpu.scene.colmap import qvec2rotmat
-        R = qvec2rotmat(q).T      # dataset_readers convention: R = Rwc.T
+        from contextgs_tpu.utils.graphics import qvec_to_rotmat
+        R = qvec_to_rotmat(q).T   # dataset_readers convention: R = Rwc.T
         cam = Camera(uid=i, colmap_id=i, R=R, T=t, fov_x=fov, fov_y=fov,
                      image=None, width=res, height=res)
         out = rasterize(jm, jsc, jq, jc, jo,
