@@ -92,6 +92,10 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
                 "(re-jit)", state["budget"])
             state["run"] = make_run(state["budget"])
 
+    # amortized-dispatch consumers (scripts/fps_bench.py) chain many views
+    # inside one jit; expose the current inner jitted fn (tracks budget
+    # doubling) — it returns (image, overflowed)
+    render.inner = lambda: state["run"]
     return render
 
 

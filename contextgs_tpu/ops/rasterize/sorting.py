@@ -167,8 +167,14 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         """Per-slot forward fill of a per-depth-rank value: scatter value
         deltas at segment-head slots, cumsum. Zero-count ranks collide on one
         head slot and their deltas telescope; ranks whose head is past the
-        budget are dropped (their slots don't exist)."""
+        budget are dropped (their slots don't exist).
+
+        The barrier keeps the delta/bit-pack producer chain OUT of the
+        scatter fusion: fused in, XLA recomputes it per scattered element on
+        the scalar unit (~1.7 ms per word at 200k heads, measured round 3);
+        materialized first, the scatter+cumsum pair costs ~0.27 ms."""
         d = vals - jnp.concatenate([jnp.zeros((1,), vals.dtype), vals[:-1]])
+        d = jax.lax.optimization_barrier(d)
         heads = jnp.zeros((budget,), vals.dtype).at[offsets].add(
             d, mode="drop", indices_are_sorted=True)
         return jnp.cumsum(heads)
@@ -179,20 +185,40 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     # always nonnegative and in-range, so no cross-field borrows occur.
     wr = max(1, (G - 1).bit_length()) if G > 0 else 1   # rank < G
     wo = max(1, (budget - 1).bit_length())              # offset < budget
-    if wr + ww + wy <= 31 and wo + wx <= 31:
-        w1 = ffill((iota_g << (ww + wy)) | (rect_w << wy) | rmin_y)
-        w2 = ffill((offsets << wx) | rmin_x)
-        rank = jax.lax.shift_right_logical(w1, ww + wy)
-        rect_w = (w1 >> wy) & ((1 << ww) - 1)
-        rmin_y = w1 & ((1 << wy) - 1)
-        off_fill = jax.lax.shift_right_logical(w2, wx)
-        rmin_x = w2 & ((1 << wx) - 1)
-    else:
-        rank = ffill(iota_g)
-        rect_w = ffill(rect_w)
-        rmin_y = ffill(rmin_y)
-        off_fill = ffill(offsets)
-        rmin_x = ffill(rmin_x)
+    # greedy first-fit of the five fields into as few 31-bit words as the
+    # widths allow (2 at bench scale; 3 once wr+wo grow past ~40 bits at
+    # reference scene scale, where the packed pair no longer fits). Scatters
+    # are index-serial (~8 ns/head) so each saved word is ~8 ms/iter at 1M
+    # gaussians; the shifts/ors are vector-cheap.
+    fields = [("rank", iota_g, wr), ("off_fill", offsets, wo),
+              ("rect_w", rect_w, ww), ("rmin_y", rmin_y, wy),
+              ("rmin_x", rmin_x, wx)]
+    words: list = []          # each: list of (name, value, width)
+    for f in fields:
+        for wd in words:
+            if sum(x[2] for x in wd) + f[2] <= 31:
+                wd.append(f)
+                break
+        else:
+            words.append([f])
+    unpacked: dict = {}
+    for wd in words:
+        packed_val = jnp.zeros_like(iota_g)
+        shift = 0
+        for name, val, width in reversed(wd):   # low bits = last field
+            packed_val = packed_val | (val << shift)
+            shift += width
+        filled = ffill(packed_val)
+        shift = 0
+        for name, val, width in reversed(wd):
+            unpacked[name] = (jax.lax.shift_right_logical(filled, shift)
+                              & ((1 << width) - 1))
+            shift += width
+    rank = unpacked["rank"]
+    rect_w = unpacked["rect_w"]
+    rmin_y = unpacked["rmin_y"]
+    off_fill = unpacked["off_fill"]
+    rmin_x = unpacked["rmin_x"]
     rank = jnp.where(valid, jnp.clip(rank, 0, max(G - 1, 0)), G)
     rect_w = jnp.maximum(rect_w, 1)
 
@@ -221,7 +247,13 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     # contribute their full rect, the single straddling gaussian
     # (offset < budget < incl) contributes its first `budget - offset`
     # row-major rect cells via a tiny elementwise grid.
-    use_hist = G > 0 and G * (tiles_x + tiles_y) <= (48 << 20)
+    # histogram path: the bf16 cover matrices cost G·(tiles_x+tiles_y)·2
+    # bytes each — ~0.9 GB apiece at the cap below (v5e HBM is 16 GB), and
+    # the matmul is ~7 GFLOP/Mgaussian (tens of µs). The searchsorted
+    # fallback costs ~10x the whole sort stage at reference scene scale
+    # (measured 247 ms/iter e2e at 1M gaussians before this cap was raised),
+    # so prefer the histogram far beyond the original conservative cap.
+    use_hist = G > 0 and G * (tiles_x + tiles_y) <= (448 << 20)
     if use_hist:
         rect_h = (counts.astype(jnp.float32) / g_rw.astype(jnp.float32)
                   ).astype(jnp.int32)       # exact: counts = rect_w·rect_h

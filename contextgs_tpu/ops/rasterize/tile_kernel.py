@@ -364,7 +364,7 @@ def blend_forward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
-                chunk, gchunk, zbuf, sem_in, sem_out, sem_z, *,
+                chunk, gchunk, zbuf, sem_in, sem_out, *,
                 chunk_size: int, tiles_x: int, tile_size: int,
                 row_offset: int, tiles_per_step: int):
     C = chunk_size
@@ -389,18 +389,30 @@ def _bwd_kernel(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                           gt_rows[:, j * PIX:(j + 1) * PIX]], axis=0)
          for j in range(tiles_per_step)], axis=0)        # [2·tb, PIX]
     qg_cols = _dot3(eye, qg, (((1,), (1,)), ((), ())), split="b")  # [PIX,2tb]
+    # STEP-GLOBAL gradient out-DMA ring: one running chunk counter across all
+    # tiles of the step, wait-before-overwrite keyed on it, ONE drain at step
+    # end — per-tile drains cost up to 2·NG semaphore waits per tile. Zero
+    # fills (early-terminated chunks) ride the same ring with zbuf as source:
+    # same transfer shape, so the slot's wait-before-reuse is uniform. zbuf is
+    # rewritten at step START, safely after the previous step's drain.
+    oc = jnp.int32(0)
     for j in range(tiles_per_step):
         t = step * tiles_per_step + j
-        _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref,
-                      grad_hbm, chunk, gchunk, zbuf, sem_in, sem_out, sem_z,
-                      t, j, C, tiles_x, tile_size, row_offset,
-                      tri_s, tri_i, P, qg_cols[:, 2 * j:2 * j + 2])
+        oc = _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref,
+                           grad_hbm, chunk, gchunk, zbuf, sem_in, sem_out,
+                           t, j, C, tiles_x, tile_size, row_offset,
+                           tri_s, tri_i, P, qg_cols[:, 2 * j:2 * j + 2], oc)
+    for k in range(NG):
+        @pl.when(oc > k)
+        def _(k=k):
+            s = jax.lax.rem(oc - 1 - k, NG)
+            pltpu.make_async_copy(zbuf, zbuf, sem_out.at[s]).wait()
 
 
 def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
-                  chunk, gchunk, zbuf, sem_in, sem_out, sem_z,
+                  chunk, gchunk, zbuf, sem_in, sem_out,
                   t, j, C, tiles_x, tile_size, row_offset, tri_s, tri_i, P,
-                  qg_col):
+                  qg_col, oc):
     start = bounds_ref[t]
     nchunks = (bounds_ref[t + 1] - start) // C
     cx, cy = _tile_center(t, tiles_x, tile_size, row_offset)
@@ -495,11 +507,12 @@ def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
                         keepdims=True)
         pref_u = pref_u + jnp.sum(uw, axis=1, keepdims=True)
 
-        # NG-deep output DMA ring: wait for this slot's transfer from NG
-        # chunks ago before overwriting, never for the one just issued
-        gs = jax.lax.rem(ci, NG)
+        # step-global NG-deep output DMA ring: wait for this slot's transfer
+        # from NG writes ago (possibly a previous tile's) before overwriting
+        myoc = oc + ci
+        gs = jax.lax.rem(myoc, NG)
 
-        @pl.when(ci >= NG)
+        @pl.when(myoc >= NG)
         def _():
             pltpu.make_async_copy(gchunk.at[gs], gchunk.at[gs],
                                   sem_out.at[gs]).wait()
@@ -512,36 +525,24 @@ def _bwd_one_tile(bounds_ref, wm_ref, packed_hbm, fwd_ref, cot_ref, grad_hbm,
     init = (jnp.ones((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
     jax.lax.fori_loop(0, wm, lambda ci, st: body((ci,) + st)[1:], init)
 
-    # drain the (up to NG) outstanding gradient DMAs before the next tile
-    # reuses the gchunk slots
-    for k in range(NG):
-        @pl.when(wm > k)
-        def _(k=k):
-            s = jax.lax.rem(wm - 1 - k, NG)
-            pltpu.make_async_copy(gchunk.at[s], gchunk.at[s],
-                                  sem_out.at[s]).wait()
-
     # zero the early-terminated region [wm·C, nchunks·C): excluded instances'
-    # true gradient. zbuf is read-only source; its own small DMA ring.
+    # true gradient. zbuf is the read-only source; rides the same ring.
     nz = nchunks - wm
 
     def zbody(zi, _):
-        zs = jax.lax.rem(zi, NG)
+        myoc = oc + wm + zi
+        zs = jax.lax.rem(myoc, NG)
 
-        @pl.when(zi >= NG)
+        @pl.when(myoc >= NG)
         def _():
-            pltpu.make_async_copy(zbuf, zbuf, sem_z.at[zs]).wait()
+            pltpu.make_async_copy(zbuf, zbuf, sem_out.at[zs]).wait()
         off = pl.multiple_of(start + (wm + zi) * C, 128)
         pltpu.make_async_copy(zbuf, grad_hbm.at[:, pl.ds(off, C)],
-                              sem_z.at[zs]).start()
+                              sem_out.at[zs]).start()
         return 0
 
     jax.lax.fori_loop(0, nz, zbody, 0)
-    for k in range(NG):
-        @pl.when(nz > k)
-        def _(k=k):
-            s = jax.lax.rem(nz - 1 - k, NG)
-            pltpu.make_async_copy(zbuf, zbuf, sem_z.at[s]).wait()
+    return oc + nchunks
 
 
 def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
@@ -597,7 +598,6 @@ def blend_backward_pallas(packed: jnp.ndarray, tile_bounds: jnp.ndarray,
             pltpu.VMEM((NG, PACK, chunk_size), jnp.float32),
             pltpu.VMEM((PACK, chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((NG,)),
             pltpu.SemaphoreType.DMA((NG,)),
         ],
     )

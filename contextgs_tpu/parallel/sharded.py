@@ -198,6 +198,8 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, width: int,
 
         diff = jnp.abs(band - gt_band) * pix_valid
         l1 = jax.lax.psum(jnp.sum(diff), AXIS) / (3.0 * n_pix_total)
+        sse = jax.lax.psum(jnp.sum(jnp.square(diff)), AXIS)
+        mse = sse / (3.0 * n_pix_total)
         # band-local SSIM, pixel-weighted (window does not cross seams)
         ssim_band = ssim(band * pix_valid, gt_band * pix_valid)
         w_band = jnp.sum(pix_valid) * width / n_pix_total
@@ -217,8 +219,8 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, width: int,
                 AXIS) / jnp.maximum(
                     jax.lax.psum(jnp.sum(alive), AXIS) * mcfg.n_offsets, 1))
             loss = loss + opt.lmbda * rate_bpp + opt.mask_reg_weight * mask_mean
-        aux = (l1, rate_bpp, ng.neural_opacity, ng.gauss_valid, vis_local,
-               vis, overflowed)
+        aux = (l1, mse, rate_bpp, ng.neural_opacity, ng.gauss_valid,
+               vis_local, vis, overflowed)
         return loss, aux
 
     @jax.jit
@@ -234,14 +236,14 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, width: int,
             grad_fn, mesh=mesh,
             in_specs=(pspec, P(AXIS), P(AXIS), P(), P(), cam_spec, P(), P(),
                       P()),
-            out_specs=((P(), (P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                              P())),
+            out_specs=((P(), (P(), P(), P(), P(AXIS), P(AXIS), P(AXIS),
+                              P(AXIS), P())),
                        (pspec, P(AXIS))),
             check_vma=True)
         ((loss, aux), (grads, screen_grad)) = smapped(
             params, screen_dummy0, buffers.alive, buffers.bound_min,
             buffers.bound_max, cam, gt_pad, bg, key)
-        (l1, bpp, neural_op, gauss_valid, vis_full, anchor_vis,
+        (l1, mse, bpp, neural_op, gauss_valid, vis_full, anchor_vis,
          overflowed) = aux
 
         # densification statistics (sharded elementwise per anchor — the
@@ -255,7 +257,8 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, width: int,
         new_params, new_adam = adam_update(params, grads, adam, opt, it,
                                           spatial_lr_scale)
         return new_params, new_buffers, new_adam, dict(
-            loss=loss, l1=l1, bpp=bpp, overflowed=overflowed)
+            loss=loss, l1=l1, bpp=bpp, overflowed=overflowed,
+            psnr=-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)))
 
     return step
 
@@ -318,7 +321,7 @@ def compute_tree_roots(anchor: np.ndarray, alive: np.ndarray,
 def reshard_anchors(params: Params, buffers: Buffers, adam: AdamState,
                     n_dev: int, voxel_size: float,
                     level_scales: tuple | None = None, level_num: int = 3,
-                    headroom: float = 1.3):
+                    headroom: float = 1.3, min_capacity: int = 0):
     """Host-side anchor redistribution (run at densify cadence).
 
     1. global voxel dedup at the finest anchor grid (cross-shard growth can
@@ -368,6 +371,9 @@ def reshard_anchors(params: Params, buffers: Buffers, adam: AdamState,
     cap_per = max(n // n_dev, 1)
     if need > cap_per or need * headroom > cap_per:
         cap_per = int(np.ceil(need * headroom / 256.0) * 256)
+    # explicit growth request (per-shard pool exhausted during densify —
+    # mirror the single-chip loop's capacity doubling)
+    cap_per = max(cap_per, -(-min_capacity // n_dev))
     new_n = cap_per * n_dev
 
     # row permutation: new row -> old row (or -1 for a dead pad slot)

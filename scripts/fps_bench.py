@@ -61,7 +61,7 @@ def main():
         offsets=rng.normal(size=(N, mcfg.n_offsets, 3)).astype(np.float32) * 0.3,
         masks=(rng.random((N, mcfg.n_offsets)) < 0.7).astype(np.float32),
         hyper=np.zeros((N, mcfg.feat_dim // mcfg.hyper_divisor), np.float32),
-        mlps=mlps, prior=None)
+        mlps=mlps, prior=None, level_scales=[], voxel_size=0.001)
     render = make_decoded_renderer(dec, cfg, W, H, budget=args.budget)
 
     cams = []
@@ -90,11 +90,13 @@ def main():
     # --- (b) amortized: V views chained inside one jit ---
     stk = {k: jnp.stack([c[k] for c in cams]) for k in cams[0]}
 
+    inner = render.inner()
+
     @jax.jit
     def render_all(stk, bg):
         def body(i, acc):
             cam_i = {k: v[i] for k, v in stk.items()}
-            img = render.__wrapped__(cam_i, bg)   # un-jitted inner
+            img, _ = inner(cam_i, bg)
             return acc + jnp.mean(img)
         return jax.lax.fori_loop(0, V, body, jnp.float32(0))
 

@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--detect_anomaly", action="store_true",
                    help="trace NaNs in jitted computations (jax_debug_nans; "
                         "ref train.py:600,665 autograd anomaly mode)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="train on an N-device jax.sharding.Mesh (anchors "
+                        "sharded, image tiles banded; parallel/sharded.py). "
+                        "The final encode runs from the gathered model.")
+    p.add_argument("--mesh_force_cpu", action="store_true",
+                   help="force an N-device virtual CPU mesh for --mesh "
+                        "(single-chip machines; must run before any other "
+                        "jax use in the process)")
     return p
 
 
@@ -139,6 +147,14 @@ def setup_logging(model_path: str):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.mesh and args.mesh_force_cpu:
+        # must precede any backend initialization (same mechanism as
+        # __graft_entry__.dryrun_multichip)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.mesh)
+        except RuntimeError:
+            pass  # backend already up (e.g. a real slice)
     cfg = config_from_args(args)
     setup_logging(cfg.model_path)
     log = logging.getLogger("contextgs_tpu")
@@ -264,7 +280,20 @@ def main(argv=None):
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
 
-    ts = train(cfg, scene, budget=args.budget, callback=tb_callback)
+    if args.mesh:
+        from contextgs_tpu.train.sharded_loop import train_sharded
+
+        def mesh_callback(it, ts_, metrics):
+            if tb is not None and it % 100 == 0:
+                tb.add_scalar("train_loss_patches/total_loss",
+                              float(metrics["loss"]), it)
+                tb.add_scalar("train/psnr", float(metrics["psnr"]), it)
+                tb.add_scalar("train/bit_per_param",
+                              float(metrics["bpp"]), it)
+        ts = train_sharded(cfg, scene, args.mesh, budget=args.budget,
+                           callback=mesh_callback)
+    else:
+        ts = train(cfg, scene, budget=args.budget, callback=tb_callback)
     stop_profiler()   # close a trace whose window extended past training
     if args.warmup:
         # reboot from the just-saved PLY snapshot: its anchors become the
