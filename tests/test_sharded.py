@@ -185,3 +185,61 @@ def test_sharded_training_through_densify_matches_single_chip(rng):
                   - np.array(losses8[densify_at + 1:]))
     rel = post / np.maximum(np.abs(np.array(losses1[densify_at + 1:])), 1e-8)
     assert rel.max() < 0.05, (losses1, losses8)
+
+
+def test_sharded_context_dssim_drift_bounded(rng):
+    """Context phase with the DEFAULT λ_dssim=0.2 — the configuration a real
+    multi-chip run uses (VERDICT r2 next #5). The sharded SSIM is band-local
+    and pixel-weighted, so its 11-px window never crosses band seams; the
+    resulting loss deviates from the single-chip loss only through those
+    seams. Train ≥10 steps on an 8-device mesh and bound the per-step loss
+    drift vs the identical single-chip run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, model, voxel, cam, gt = _setup(rng)
+    cfg = dataclasses.replace(cfg, opt=dataclasses.replace(
+        cfg.opt, lambda_dssim=0.2))          # reference default (§2.6)
+    level_scales = (4.0, 16.0)
+    bg = jnp.zeros(3)
+    it0, n_steps = 11_000, 12
+    key0 = jax.random.PRNGKey(7)
+
+    step1 = make_train_step(cfg, W, H, budget=8192, phase="context",
+                            level_scales=level_scales, spatial_lr_scale=1.0,
+                            voxel_size=voxel)
+    p1, b1, a1 = model.params, model.buffers, init_adam(model.params)
+    losses1 = []
+    for s in range(n_steps):
+        p1, b1, a1, m1 = step1(p1, b1, a1, cam, gt, bg,
+                               jnp.asarray(float(it0 + s)),
+                               jnp.asarray(False), jax.random.fold_in(key0, s))
+        losses1.append(float(m1.loss))
+
+    mesh = make_mesh(8)
+    sp, sb, sa, _ = shard_model(mesh, model.params, model.buffers,
+                                init_adam(model.params))
+    step8 = make_sharded_train_step(cfg, mesh, W, H, budget=8192,
+                                    phase="context",
+                                    level_scales=level_scales,
+                                    spatial_lr_scale=1.0, voxel_size=voxel,
+                                    backend="reference")
+    losses8 = []
+    for s in range(n_steps):
+        sp, sb, sa, m8 = step8(sp, sb, sa, cam, gt, bg,
+                               jnp.asarray(float(it0 + s)),
+                               jnp.asarray(False),
+                               jax.random.fold_in(key0, s))
+        losses8.append(float(m8["loss"]))
+
+    l1a, l8a = np.array(losses1), np.array(losses8)
+    rel = np.abs(l8a - l1a) / np.maximum(np.abs(l1a), 1e-8)
+    # documented bound: with the default 0.2 DSSIM weight, per-step loss
+    # drift stays under 5% over 12 steps even at THIS worst case — 16-px
+    # bands where the 11-px SSIM window covers ~70% of a band, so nearly
+    # every pixel is seam-adjacent (measured 4.1%). Real multi-chip runs
+    # band at rows_per·16 ≥ 96 px (720p/8 devices), where the seam-adjacent
+    # fraction (and thus the deviation) is ~6x smaller.
+    assert rel.max() < 0.05, (rel.max(), losses1, losses8)
+    # and the trajectories must not diverge: late drift stays the same order
+    # as early drift (a systematic error would compound step over step)
+    assert rel[-1] < 2.0 * max(rel[:3].max(), 5e-3), rel

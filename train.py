@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force an N-device virtual CPU mesh for --mesh "
                         "(single-chip machines; must run before any other "
                         "jax use in the process)")
+    p.add_argument("--force_cpu", action="store_true",
+                   help="run on the CPU backend (sitecustomize pins the TPU "
+                        "plugin, so JAX_PLATFORMS env vars are baked before "
+                        "this process starts; the runtime config API is the "
+                        "only way to switch)")
     return p
 
 
@@ -147,12 +152,13 @@ def setup_logging(model_path: str):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.mesh and args.mesh_force_cpu:
+    if (args.mesh and args.mesh_force_cpu) or args.force_cpu:
         # must precede any backend initialization (same mechanism as
         # __graft_entry__.dryrun_multichip)
         try:
             jax.config.update("jax_platforms", "cpu")
-            jax.config.update("jax_num_cpu_devices", args.mesh)
+            if args.mesh:
+                jax.config.update("jax_num_cpu_devices", args.mesh)
         except RuntimeError:
             pass  # backend already up (e.g. a real slice)
     cfg = config_from_args(args)
