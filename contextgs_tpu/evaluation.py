@@ -31,9 +31,16 @@ class _DecodedParams(NamedTuple):
 
 
 def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
-                          height: int, budget: int = 1 << 18):
+                          height: int, budget: int = 1 << 18,
+                          vis_cap: int | None = None):
     """Jitted renderer over a decoded (compacted) scene — the reference's
-    decoded_version path (gaussian_renderer/__init__.py:103-104)."""
+    decoded_version path (gaussian_renderer/__init__.py:103-104).
+
+    `vis_cap` bounds rendered gaussians per view (rasterize's visible-prefix
+    table slice — keeps the splat gather scoped-VMEM-resident at large
+    scenes). Defaults to half the decoded pool (but at least 2^19) when the
+    pool is big enough for the cap to matter; overflow doubles it, exactly
+    like the instance-budget reaction below."""
     mcfg, pipe = cfg.model, cfg.pipe
     params = _DecodedParams(mlps=dec.mlps)
     # pad the anchor count to a 4096 bucket so renderer compiles are reused
@@ -53,7 +60,11 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
     masks = pad(dec.masks)   # padded slots: mask 0 → no gaussians
     backend = pipe.backend if pipe.backend != "auto" else "pallas"
 
-    def make_run(bdg: int):
+    g_dec = n * mcfg.n_offsets
+    if vis_cap is None and g_dec > (1 << 20):
+        vis_cap = max(1 << 19, g_dec // 2)
+
+    def make_run(bdg: int, vcap):
         @jax.jit
         def run(cam: dict, bg: jnp.ndarray):
             vis = rz.visible_filter(anchor, scaling[:, :3], cam["world_view"],
@@ -71,30 +82,39 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
                                width=width, height=height, bg=bg,
                                tile_size=pipe.tile_size, budget=bdg,
                                chunk_size=pipe.chunk_size, backend=backend,
-                               valid=ng.gauss_valid)
-            return out.image, out.overflowed
+                               valid=ng.gauss_valid, vis_cap=vcap)
+            return out.image, out.overflowed, out.vis_overflowed
         return run
 
-    # instance-budget overflow silently truncates the deepest splats of
-    # exactly the renders used for reported PSNR — react like the train loop
-    # (train/loop.py budget doubling): double and re-jit, then re-render.
-    state = {"budget": budget, "run": make_run(budget)}
+    # instance-budget (or visible-cap) overflow silently truncates the
+    # deepest splats of exactly the renders used for reported PSNR — react
+    # like the train loop (train/loop.py budget doubling): double the
+    # overflowed limit and re-jit, then re-render.
+    state = {"budget": budget, "vis_cap": vis_cap,
+             "run": make_run(budget, vis_cap)}
 
     def render(cam: dict, bg: jnp.ndarray):
+        import logging
         while True:
-            img, overflowed = state["run"](cam, bg)
-            if not bool(overflowed):
+            img, overflowed, vis_ovf = state["run"](cam, bg)
+            if not (bool(overflowed) or bool(vis_ovf)):
                 return img
-            state["budget"] *= 2
-            import logging
-            logging.getLogger("contextgs").warning(
-                "decoded-render instance budget overflow → doubling to %d "
-                "(re-jit)", state["budget"])
-            state["run"] = make_run(state["budget"])
+            if bool(overflowed):
+                state["budget"] *= 2
+                logging.getLogger("contextgs").warning(
+                    "decoded-render instance budget overflow → doubling to "
+                    "%d (re-jit)", state["budget"])
+            if bool(vis_ovf):
+                state["vis_cap"] = (None if state["vis_cap"] * 2 >= g_dec
+                                    else state["vis_cap"] * 2)
+                logging.getLogger("contextgs").warning(
+                    "decoded-render visible-cap overflow → raising to %s "
+                    "(re-jit)", state["vis_cap"])
+            state["run"] = make_run(state["budget"], state["vis_cap"])
 
     # amortized-dispatch consumers (scripts/fps_bench.py) chain many views
-    # inside one jit; expose the current inner jitted fn (tracks budget
-    # doubling) — it returns (image, overflowed)
+    # inside one jit; expose the current inner jitted fn (tracks budget /
+    # vis-cap doubling) — it returns (image, overflowed, vis_overflowed)
     render.inner = lambda: state["run"]
     return render
 

@@ -38,13 +38,16 @@ class RasterOutput(NamedTuple):
     radii: jnp.ndarray        # [G] int32
     visibility: jnp.ndarray   # [G] bool (radius > 0)
     overflowed: jnp.ndarray   # [] bool — instance budget exceeded
+    vis_overflowed: jnp.ndarray  # [] bool — visible gaussians exceeded
+                              # vis_cap (deepest splats dropped); False when
+                              # vis_cap is None
 
 
 def _float0_like(x):
     return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def _pack(gauss_rows, order, rank_aligned):
+def _pack(gauss_rows, order, rank_aligned, vis_cap=None):
     """[G,9] splat rows → component-major [PACK, B_pad] instance table.
 
     ONE row gather from the small [G+1,·] depth-ordered table: the tile sort
@@ -57,21 +60,32 @@ def _pack(gauss_rows, order, rank_aligned):
     through the per-slot gaussian id instead costs ~7 ms extra: the [B_pad]
     scalar id gather is far slower than this [G]-scale row gather.) The
     transpose to the kernel's component-major layout fuses into the gather's
-    output copy."""
+    output copy.
+
+    With `vis_cap` = V < G, the depth-ordered table keeps only its first V
+    rows: the depth sort puts culled gaussians last, so every instance's
+    rank is < n_vis and the slice is lossless while n_vis <= V (the caller
+    surfaces `n_vis > V` as vis_overflowed and reacts host-side). A smaller
+    gather table stays scoped-VMEM-resident — the row gather degrades ~9x
+    once the table outgrows it (measured, scripts/r3_micro.py)."""
     G, w = gauss_rows.shape
     rows16 = jnp.concatenate(
         [gauss_rows, jnp.zeros((G, PACK - w), gauss_rows.dtype)], axis=1)
+    if vis_cap is not None and vis_cap < G:
+        order = order[:vis_cap]
+        rank_aligned = jnp.minimum(rank_aligned, vis_cap)
     rows_rank = jnp.concatenate(
-        [rows16[order], jnp.zeros((1, PACK), rows16.dtype)])   # [G+1, PACK]
+        [rows16[order], jnp.zeros((1, PACK), rows16.dtype)])   # [V+1, PACK]
     packed = rows_rank[rank_aligned]                           # [B_pad, PACK]
     packed = jax.lax.optimization_barrier(packed)
     return packed.T
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _pack_blend(gauss_rows, order, inv_order, rank_aligned, tile_bounds,
                 perm, seg_bounds, n_tiles: int, tiles_x: int, tile_size: int,
-                chunk_size: int, interpret: bool, row_offset: int):
+                chunk_size: int, interpret: bool, row_offset: int,
+                vis_cap):
     """Gather+blend with a segment-sum backward. Returns channel-major
     [OUTC, n_tiles*PIX] (rgb + final T).
 
@@ -82,7 +96,8 @@ def _pack_blend(gauss_rows, order, inv_order, rank_aligned, tile_bounds,
     contiguous, and reduce with one cumsum + two boundary row-gathers
     (`seg_bounds`).
     """
-    out, _ = blend_forward_pallas(_pack(gauss_rows, order, rank_aligned),
+    out, _ = blend_forward_pallas(_pack(gauss_rows, order, rank_aligned,
+                                        vis_cap),
                                   tile_bounds, n_tiles, tiles_x, tile_size,
                                   chunk_size, interpret, row_offset)
     return out[:, :n_tiles * PIX]
@@ -90,8 +105,8 @@ def _pack_blend(gauss_rows, order, inv_order, rank_aligned, tile_bounds,
 
 def _pack_blend_fwd(gauss_rows, order, inv_order, rank_aligned,
                     tile_bounds, perm, seg_bounds, n_tiles, tiles_x,
-                    tile_size, chunk_size, interpret, row_offset):
-    packed = _pack(gauss_rows, order, rank_aligned)
+                    tile_size, chunk_size, interpret, row_offset, vis_cap):
+    packed = _pack(gauss_rows, order, rank_aligned, vis_cap)
     out, wm = blend_forward_pallas(packed, tile_bounds, n_tiles, tiles_x,
                                    tile_size, chunk_size, interpret,
                                    row_offset)
@@ -101,7 +116,7 @@ def _pack_blend_fwd(gauss_rows, order, inv_order, rank_aligned,
 
 
 def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
-                    row_offset, res, cot):
+                    row_offset, vis_cap, res, cot):
     packed, tile_bounds, out, wm, perm, seg_bounds, inv_order, G = res
     # every aligned slot `perm` can reference is kernel-written (analytic
     # gradients, in-kernel zeros past the watermark, exact zeros for fillers)
@@ -119,9 +134,19 @@ def _pack_blend_bwd(n_tiles, tiles_x, tile_size, chunk_size, interpret,
     gRM = jax.lax.optimization_barrier(grads.T)                # [B_pad, PACK]
     gT = jnp.concatenate([gRM, jnp.zeros((1, PACK), grads.dtype)])
     g_depth = gT[perm]                   # [B,PACK]; dropped slots → zero row
+    B = g_depth.shape[0]
+    if vis_cap is not None and vis_cap < G:
+        # instances of ranks >= vis_cap blended a sentinel ZERO row (see
+        # _pack), whose kernel gradient has a spurious nonzero opacity
+        # component (alpha==0 but exp(power)·T·Σcot ≠ 0); ranks are
+        # depth-contiguous so those are exactly the slots past
+        # seg_bounds[vis_cap] — mask them before the reduce
+        lim = jnp.minimum(seg_bounds[vis_cap], B)
+        g_depth = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) < lim,
+            g_depth, 0.0)
     cs = jnp.concatenate([jnp.zeros((1, PACK), grads.dtype),
                           jnp.cumsum(g_depth, axis=0)])        # [B+1, PACK]
-    B = g_depth.shape[0]
     # ONE boundary gather (rows G+1) instead of separate cs[hi]/cs[lo]: the
     # bounds are shared endpoints, diff recovers the per-rank segment sums
     cs_b = cs[jnp.clip(seg_bounds, 0, B)]                      # [G+1, PACK]
@@ -166,6 +191,7 @@ def rasterize(
     screen_dummy: jnp.ndarray | None = None,
     tile_band: tuple | None = None,
     slack: int | None = None,
+    vis_cap: int | None = None,
 ) -> RasterOutput:
     """Differentiable tile rasterization of 3D gaussians.
 
@@ -173,6 +199,14 @@ def rasterize(
     `valid` force-culls padded gaussian slots. With `tile_band=(row0, n_rows)`
     only that horizontal band of tiles is rasterized and `image`/`final_t`
     cover just the band's pixel rows (multi-chip tile sharding).
+
+    `vis_cap` (static) bounds the number of RENDERED gaussians per view: the
+    splat-state gather table is sliced to the visible prefix of the depth
+    sort, keeping it scoped-VMEM-resident at large G (decoded-path renders
+    over padded pools where most slots are dead or culled). If more than
+    vis_cap gaussians are actually visible the deepest ones are dropped and
+    `vis_overflowed` is set — callers react like a budget overflow (double
+    and re-jit, e.g. evaluation.make_decoded_renderer).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -213,10 +247,13 @@ def rasterize(
         gauss_rows = jnp.concatenate([
             proj.means2d, proj.conics, opacities[:, None], colors],
             axis=1)                                       # [G, 9]
+        vcap = (None if vis_cap is None
+                else min(int(vis_cap), means3d.shape[0]))
         tiles = _pack_blend(gauss_rows, inst.order, inst.inv_order,
                             inst.rank_aligned, inst.tile_bounds, inst.perm,
                             inst.seg_bounds, n_tiles, tiles_x, tile_size,
-                            chunk_size, interpret, row0)  # [4, n_tiles*PIX]
+                            chunk_size, interpret, row0,
+                            vcap)                         # [4, n_tiles*PIX]
         # channel-major kernel output: per-channel tile untiling only (the
         # channel axis is already major — no minor-dim-4 transpose)
         full = tiles.reshape(4, band_rows, tiles_x, tile_size, tile_size)
@@ -226,5 +263,11 @@ def rasterize(
         final_t = full[3, :band_h, :width]
 
     image = img + final_t[None] * bg[:, None, None]
+    # the reference backend blends every instance (no packed table) — the
+    # cap only applies to the Pallas path's gather-table slice
+    vis_ovf = (jnp.asarray(False)
+               if vis_cap is None or backend == "reference"
+               else inst.n_vis > min(int(vis_cap), means3d.shape[0]))
     return RasterOutput(image=image, final_t=final_t, radii=proj.radii,
-                        visibility=proj.radii > 0, overflowed=inst.overflowed)
+                        visibility=proj.radii > 0, overflowed=inst.overflowed,
+                        vis_overflowed=vis_ovf)

@@ -76,6 +76,8 @@ class TileInstances(NamedTuple):
     inv_order: jnp.ndarray     # [G] int32 gaussian index → depth rank
     seg_bounds: jnp.ndarray    # [G+1] int32 prefix sum of per-depth-rank tile
                                # counts (slot ranges in depth order, pre-cap)
+    n_vis: jnp.ndarray         # [] int32 gaussians with >=1 tile; the depth
+                               # sort puts exactly these at ranks [0, n_vis)
 
 
 def default_slack(n_tiles: int, align: int) -> int:
@@ -421,4 +423,5 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
                          tile_ids=out_tile, tile_bounds=bounds,
                          valid=out_valid, total=total, overflowed=overflowed,
                          perm=perm, order=order, inv_order=inv_order,
-                         seg_bounds=seg_bounds)
+                         seg_bounds=seg_bounds,
+                         n_vis=jnp.sum(b_cnt > 0).astype(jnp.int32))

@@ -96,7 +96,7 @@ def main():
     def render_all(stk, bg):
         def body(i, acc):
             cam_i = {k: v[i] for k, v in stk.items()}
-            img, _ = inner(cam_i, bg)
+            img = inner(cam_i, bg)[0]
             return acc + jnp.mean(img)
         return jax.lax.fori_loop(0, V, body, jnp.float32(0))
 

@@ -254,3 +254,50 @@ def test_tile_bounds_histogram_vs_bruteforce(rng):
         np.testing.assert_array_equal(got, want)
         if len(tiles) == BUDGET and int(cnt.sum()) > BUDGET:
             assert bool(inst.overflowed)
+
+
+@functools.lru_cache(maxsize=8)
+def _capped_fns(vis_cap, width, height):
+    cam = make_test_camera(width=width, height=height)
+    kw = _cam_arrays(cam)
+
+    def loss(means, scales, quats, colors, opac, target):
+        qn = quats / jnp.linalg.norm(quats, axis=1, keepdims=True)
+        out = rasterize(means, scales, qn, colors, opac, width=width,
+                        height=height, bg=jnp.full(3, 0.5), budget=BUDGET,
+                        chunk_size=CHUNK, backend="pallas", vis_cap=vis_cap,
+                        **kw)
+        return (jnp.sum((out.image - target) ** 2)
+                + 0.1 * jnp.sum(out.final_t)), out.vis_overflowed
+
+    return (jax.jit(loss),
+            jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)))
+
+
+@pytest.mark.tpu
+def test_vis_cap_lossless_and_overflow(rng):
+    """vis_cap >= n_vis: the visible-prefix gather-table slice is LOSSLESS —
+    image and all five analytic gradients bit-match the uncapped path; a cap
+    below n_vis sets vis_overflowed (deepest splats dropped, host reacts)."""
+    scene = _scene(rng, 80)
+    target = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    l_ref, g_ref = _grad_fn("pallas", 32, 32)
+    base_loss = l_ref(*scene, target)
+    base_grads = g_ref(*scene, target)
+
+    # generous cap (== G): lossless, flag off
+    l_cap, g_cap = _capped_fns(80, 32, 32)
+    loss_v, ovf = l_cap(*scene, target)
+    np.testing.assert_array_equal(np.asarray(loss_v), np.asarray(base_loss))
+    assert not bool(ovf)
+    grads_v, _ = g_cap(*scene, target)
+    for a, b in zip(base_grads, grads_v):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # tight cap: must flag, and capped grads must stay finite
+    l_t, g_t = _capped_fns(4, 32, 32)
+    _, ovf_t = l_t(*scene, target)
+    assert bool(ovf_t)
+    grads_t, _ = g_t(*scene, target)
+    for g in grads_t:
+        assert np.isfinite(np.asarray(g)).all()

@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start_checkpoint", default=None)
     p.add_argument("--budget", type=int, default=1 << 20,
                    help="tile-instance budget for the rasterizer")
+    p.add_argument("--n_offsets", type=int, default=None,
+                   help="gaussians decoded per anchor (ref n_offsets=10)")
+    p.add_argument("--anchor_capacity", type=int, default=0,
+                   help="initial padded anchor-pool capacity (0 = "
+                        "capacity_headroom x initial anchors); the pool "
+                        "auto-doubles when densification fills it")
     p.add_argument("--backend", default="auto")
     p.add_argument("--skip_codec", action="store_true")
     p.add_argument("--skip_render", action="store_true")
@@ -119,6 +125,10 @@ def config_from_args(args) -> TrainConfig:
         overrides["update_init_factor"] = args.update_init_factor
     if args.white_background:
         overrides["white_background"] = True
+    if args.anchor_capacity:
+        overrides["anchor_capacity"] = args.anchor_capacity
+    if args.n_offsets is not None:
+        overrides["n_offsets"] = args.n_offsets
     overrides["resolution"] = args.resolution
     model = dataclasses.replace(model, **overrides)
     opt = OptimizationConfig(iterations=args.iterations, lmbda=args.lmbda,
