@@ -1,11 +1,16 @@
 """Pure-JAX reference rasterizer: golden model for the Pallas kernels.
 
-O(B·P) dense formulation — every sorted tile-instance against every pixel —
-so it is only for small scenes/tests, but it is *exactly* the tile pipeline's
-semantics: same projection, same instance sort order, same tile-rect masking
-(a gaussian only touches pixels of tiles in its rect, as in the CUDA
-reference), same alpha/transmittance thresholds. Fully differentiable by
-autodiff, which makes it the gradient oracle for the custom-VJP kernels.
+Tile-segmented O(B·PIX) formulation — every sorted tile-instance against the
+256 pixels of ITS OWN tile (an instance never touches other tiles, exactly as
+in the CUDA reference's per-tile lists). The per-pixel front-to-back
+transmittance recurrence runs in log space over the tile-sorted instance
+axis, segmented at tile boundaries by subtracting the segment-head prefix —
+identical semantics to the dense [B,H,W] formulation this replaces, but 16×
+less memory traffic at 64×64 (it used to be the CPU-parity-run bottleneck:
+~11 s/iter at a 37k-slot table against 4096 pixels).
+
+Fully differentiable by autodiff, which makes it the gradient oracle for the
+custom-VJP Pallas kernels (golden tests assert fwd/bwd agreement).
 """
 
 from __future__ import annotations
@@ -37,41 +42,70 @@ def blend_reference(
     y0 = tile_row_offset * tile_size
     if band_height is None:
         band_height = height - y0
+    band_rows = -(-band_height // tile_size)
+    n_tiles = inst.tile_bounds.shape[0] - 1
+    pix = tile_size * tile_size
 
     g = inst.gauss_ids                                     # [B]
     mean2d = proj.means2d[g]                               # [B,2]
     conic = proj.conics[g]                                 # [B,3]
     col = colors[g]                                        # [B,3]
     opac = opacities[g]                                    # [B]
+    B = g.shape[0]
 
-    px = jnp.arange(width, dtype=jnp.float32)
-    py = jnp.arange(y0, y0 + band_height, dtype=jnp.float32)
-    PX, PY = jnp.meshgrid(px, py, indexing="xy")           # [H,W]
-    pix_tile = ((PY.astype(jnp.int32) // tile_size - tile_row_offset) * tiles_x
-                + PX.astype(jnp.int32) // tile_size)       # [H,W]
+    valid = inst.valid & (inst.tile_ids < n_tiles)         # [B]
+    t_of = jnp.minimum(inst.tile_ids, n_tiles - 1)
+    # pixel coordinates of each instance's OWN tile [B, pix]
+    k = jnp.arange(pix, dtype=jnp.int32)[None, :]
+    base_x = (t_of % tiles_x) * tile_size
+    base_y = (t_of // tiles_x + tile_row_offset) * tile_size
+    PX = (base_x[:, None] + k % tile_size).astype(jnp.float32)
+    PY = (base_y[:, None] + k // tile_size).astype(jnp.float32)
 
-    dx = mean2d[:, 0, None, None] - PX[None]               # [B,H,W]
-    dy = mean2d[:, 1, None, None] - PY[None]
-    power = gaussian_power(dx, dy, conic[:, 0, None, None],
-                           conic[:, 1, None, None], conic[:, 2, None, None])
-    alpha = alpha_from_power(power, opac[:, None, None])
-    in_tile = (inst.tile_ids[:, None, None] == pix_tile[None]) & inst.valid[:, None, None]
-    alpha = jnp.where(in_tile, alpha, 0.0)
+    dx = mean2d[:, 0, None] - PX                           # [B, pix]
+    dy = mean2d[:, 1, None] - PY
+    power = gaussian_power(dx, dy, conic[:, 0, None], conic[:, 1, None],
+                           conic[:, 2, None])
+    alpha = alpha_from_power(power, opac[:, None])
+    alpha = jnp.where(valid[:, None], alpha, 0.0)
 
-    # multiplicative transmittance recurrence — the same domain as the Pallas
-    # kernels (product-domain thresholds must agree or borderline instances
-    # at T≈1e-4 flip inclusion between oracle and kernel)
-    one_m = 1.0 - alpha
-    cum_incl = jnp.cumprod(one_m, axis=0)                  # T after instance i
-    include = cum_incl >= T_EPS                            # early-termination prefix
+    heads = inst.tile_bounds[t_of]                         # [B] segment head row
+
+    def seg_T(alpha):
+        """Per-(instance, pixel) transmittance BEFORE the instance, within
+        its tile segment: exp of (exclusive log-prefix − head's prefix)."""
+        lg = jnp.log1p(-alpha)                             # [B, pix] ≤ 0
+        cs = jnp.cumsum(lg, axis=0)
+        ex = cs - lg                                       # exclusive prefix
+        return jnp.exp(ex - ex[heads]), lg
+
+    # early-termination prefix: include while T·(1−α) ≥ T_EPS, then recompute
+    # the recurrence with excluded instances' alpha zeroed (two passes, same
+    # as the dense formulation / the Pallas kernels)
+    T1, _ = seg_T(alpha)
+    include = T1 * (1.0 - alpha) >= T_EPS
     alpha = jnp.where(include, alpha, 0.0)
-    one_m = 1.0 - alpha
-    cum_incl = jnp.cumprod(one_m, axis=0)
-    w = alpha * (cum_incl / one_m)                         # [B,H,W]
+    T, lg = seg_T(alpha)
+    w = alpha * T                                          # [B, pix]
 
-    image = jnp.einsum("bc,bhw->chw", col, w,
-                       precision=jax.lax.Precision.HIGHEST)
-    final_t = cum_incl[-1] if w.shape[0] > 0 else jnp.ones_like(PX)
+    seg_ids = jnp.where(valid, t_of, n_tiles)              # pads → dump row
+    image_t = jnp.stack([
+        jax.ops.segment_sum(col[:, c, None] * w, seg_ids,
+                            num_segments=n_tiles + 1)[:n_tiles]
+        for c in range(3)])                                # [3, n_tiles, pix]
+    total_lg = jax.ops.segment_sum(lg, seg_ids,
+                                   num_segments=n_tiles + 1)[:n_tiles]
+    final_t_t = jnp.exp(total_lg)                          # [n_tiles, pix]
+
+    def untile(x):                                         # [..., n_tiles, pix]
+        x = x.reshape(x.shape[:-2] + (band_rows, tiles_x, tile_size, tile_size))
+        x = jnp.swapaxes(x, -3, -2)
+        x = x.reshape(x.shape[:-4] + (band_rows * tile_size,
+                                      tiles_x * tile_size))
+        return x[..., :band_height, :width]
+
+    image = untile(image_t)
+    final_t = untile(final_t_t)
     if bg is not None:
         image = image + final_t[None] * bg[:, None, None]
     return image, final_t
