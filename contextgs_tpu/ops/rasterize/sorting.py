@@ -213,7 +213,11 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
         filled = ffill(packed_val)
         shift = 0
         for name, val, width in reversed(wd):
-            unpacked[name] = (jax.lax.shift_right_logical(filled, shift)
+            # dtype-pinned shift: under jax_enable_x64 a python-int literal
+            # promotes to int64 and shift_right_logical rejects the mix
+            # (x64 is only used by the CPU f64 oracle path in tests)
+            unpacked[name] = (jax.lax.shift_right_logical(
+                filled, jnp.asarray(shift, filled.dtype))
                               & ((1 << width) - 1))
             shift += width
     rank = unpacked["rank"]

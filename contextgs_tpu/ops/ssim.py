@@ -29,7 +29,15 @@ def _gaussian_window(window_size: int, sigma: float):
 
 
 def _filter2d(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 2D conv, img [C,H,W], window [k,k], padding k//2 each side."""
+    """Depthwise 2D conv, img [C,H,W], window [k,k], padding k//2 each side.
+
+    precision=HIGHEST is load-bearing: TPU convs default to bf16 multiplies,
+    and the variance terms below are computed as E[x²]−μ² — catastrophic
+    cancellation at bf16 makes σ² wrong by ~1e-2, which flips the SSIM
+    denominator near zero in flat image regions and blows the SSIM map up to
+    ±100s (observed: "SSIM"=6.4 on valid [0,1] images at 512², which turned
+    the (1−SSIM) loss term into gradient ASCENT and collapsed training at
+    realistic scale — the r3 non-convergence root cause)."""
     c = img.shape[0]
     k = window.shape[0]
     lhs = img[None]                                    # [1,C,H,W]
@@ -38,7 +46,8 @@ def _filter2d(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
         lhs, rhs, window_strides=(1, 1),
         padding=[(k // 2, k // 2), (k // 2, k // 2)],
         feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
     return out[0]
 
 
@@ -49,8 +58,11 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     mu1 = _filter2d(img1, w)
     mu2 = _filter2d(img2, w)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _filter2d(img1 * img1, w) - mu1_sq
-    sigma2_sq = _filter2d(img2 * img2, w) - mu2_sq
+    # clamp: E[x²]−μ² is ≥ 0 mathematically; f32 rounding can leave a tiny
+    # negative residue in perfectly flat windows (true σ² could never make
+    # the denominator negative, so this is a pure numerical guard)
+    sigma1_sq = jnp.maximum(_filter2d(img1 * img1, w) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_filter2d(img2 * img2, w) - mu2_sq, 0.0)
     sigma12 = _filter2d(img1 * img2, w) - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (

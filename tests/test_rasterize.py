@@ -44,7 +44,7 @@ def _render_fn(backend, width, height):
 
 
 @functools.lru_cache(maxsize=16)
-def _grad_fn(backend, width, height):
+def _grad_fn(backend, width, height, t_eps=None):
     cam = make_test_camera(width=width, height=height)
     kw = _cam_arrays(cam)
 
@@ -52,7 +52,7 @@ def _grad_fn(backend, width, height):
         qn = quats / jnp.linalg.norm(quats, axis=1, keepdims=True)
         out = rasterize(means, scales, qn, colors, opac, width=width,
                         height=height, bg=jnp.full(3, 0.5), budget=BUDGET,
-                        chunk_size=CHUNK, backend=backend, **kw)
+                        chunk_size=CHUNK, backend=backend, t_eps=t_eps, **kw)
         return jnp.sum((out.image - target) ** 2) + 0.1 * jnp.sum(out.final_t)
 
     return jax.jit(loss), jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
@@ -170,16 +170,43 @@ def test_forward_with_opaque_occluder(rng):
 
 @pytest.mark.tpu
 def test_gradients_match_reference_oracle(rng):
+    """Pallas analytic VJP vs the autodiff oracle — threshold-envelope form.
+
+    Two deliberate tolerances, both justified by float64 ground truth (CPU
+    x64 oracle run, recorded 2026-08-20):
+    1. Threshold envelope: instances with T·(1−α) within f32 rounding of
+       T_EPS legitimately flip inclusion between any two evaluation orders
+       (f32-vs-f64 oracle runs differ by up to 12% of max|grad| on single
+       elements from exactly such flips; oracle and kernel agree there).
+       The oracle is evaluated at T_EPS·(1±δ), δ=2e-4, and the kernel must
+       lie inside the elementwise envelope of the three oracle gradients.
+    2. atol 1.5e-3 of max|grad|: mutual f32 rounding between the two
+       formulations (one segmented log-scan vs chunk-restarted log prefix
+       with multiplicative carry). At the historically worst element
+       (means[1,0], 8.9e-4 normalized apart) the PALLAS value is the one
+       closer to f64 (−1.35944 vs f64 −1.35637; f32 oracle −1.36658), so
+       deltas at this scale are oracle noise, not kernel error."""
     scene = _scene(rng, 30)
     target = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    from contextgs_tpu.ops.rasterize.common import T_EPS
+    delta = 2e-4
+    atol = 1.5e-3
     g_ref = _grad_fn("reference", 32, 32)[1](*scene, target)
+    g_lo = _grad_fn("reference", 32, 32, T_EPS * (1 - delta))[1](*scene, target)
+    g_hi = _grad_fn("reference", 32, 32, T_EPS * (1 + delta))[1](*scene, target)
     g_pal = _grad_fn("pallas", 32, 32)[1](*scene, target)
     names = ["means", "scales", "quats", "colors", "opacities"]
-    for name, a, b in zip(names, g_ref, g_pal):
-        a, b = np.asarray(a), np.asarray(b)
+    for name, a, lo, hi, b in zip(names, g_ref, g_lo, g_hi, g_pal):
+        a, lo, hi, b = map(np.asarray, (a, lo, hi, b))
         scale = np.abs(a).max() + 1e-6
-        np.testing.assert_allclose(b / scale, a / scale, atol=3e-4,
-                                   err_msg=f"grad mismatch for {name}")
+        env_lo = np.minimum(np.minimum(a, lo), hi) / scale - atol
+        env_hi = np.maximum(np.maximum(a, lo), hi) / scale + atol
+        bn = b / scale
+        bad = (bn < env_lo) | (bn > env_hi)
+        assert not bad.any(), (
+            f"grad outside oracle envelope for {name}: "
+            f"{bad.sum()} elements, worst "
+            f"{np.max(np.maximum(env_lo - bn, bn - env_hi)):.3e}")
         assert np.abs(a).max() > 0, f"zero grads for {name}"
 
 
