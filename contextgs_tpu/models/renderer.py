@@ -31,6 +31,7 @@ class RenderOutput(NamedTuple):
     visibility: jnp.ndarray      # [NK] bool (radius>0)
     aux: DecodeAux
     overflowed: jnp.ndarray
+    vis_overflowed: jnp.ndarray  # [] bool — vis_cap exceeded (False if off)
 
 
 def prefilter_voxel(params: st.Params, buffers: st.Buffers, cam: dict,
@@ -51,7 +52,8 @@ def render(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
            *, phase: str, training: bool, maps: LevelMaps | None = None,
            visible_mask: jnp.ndarray | None = None,
            screen_dummy: jnp.ndarray | None = None,
-           budget: int = 1 << 18, scale_modifier=1.0) -> RenderOutput:
+           budget: int = 1 << 18, scale_modifier=1.0,
+           vis_cap: int | None = None) -> RenderOutput:
     if visible_mask is None:
         visible_mask = prefilter_voxel(params, buffers, cam, width, height)
 
@@ -68,8 +70,9 @@ def render(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
         tile_size=pipe.tile_size, budget=budget, chunk_size=pipe.chunk_size,
         backend=pipe.backend if pipe.backend != "auto" else "pallas",
         valid=ng.gauss_valid, screen_dummy=screen_dummy,
-        scale_modifier=scale_modifier)
+        scale_modifier=scale_modifier, vis_cap=vis_cap)
 
     return RenderOutput(image=out.image, final_t=out.final_t, gaussians=ng,
                         radii=out.radii, visibility=out.visibility, aux=aux,
-                        overflowed=out.overflowed)
+                        overflowed=out.overflowed,
+                        vis_overflowed=out.vis_overflowed)

@@ -259,7 +259,10 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     # fallback costs ~10x the whole sort stage at reference scene scale
     # (measured 247 ms/iter e2e at 1M gaussians before this cap was raised),
     # so prefer the histogram far beyond the original conservative cap.
-    use_hist = G > 0 and G * (tiles_x + tiles_y) <= (448 << 20)
+    # the raised cap is TPU-sized (16 GB HBM); CPU/dev runs near it would
+    # allocate multi-GB host buffers where the searchsorted fallback is safer
+    hist_cap = (448 << 20) if jax.default_backend() == "tpu" else (48 << 20)
+    use_hist = G > 0 and G * (tiles_x + tiles_y) <= hist_cap
     if use_hist:
         rect_h = (counts.astype(jnp.float32) / g_rw.astype(jnp.float32)
                   ).astype(jnp.int32)       # exact: counts = rect_w·rect_h

@@ -121,7 +121,7 @@ def grow_capacity(model: SceneModel, adam: AdamState,
 
 
 def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
-          callback=None) -> TrainerState:
+          vis_cap: int = 0, callback=None) -> TrainerState:
     """Run the full optimization; returns the final trainer state."""
     key = jax.random.PRNGKey(cfg.seed)
     key, k_init = jax.random.split(key)
@@ -130,6 +130,7 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
     ts = TrainerState(model=model, adam=adam, voxel_size=voxel_size,
                       spatial_lr_scale=scene.radius,
                       rng=np.random.default_rng(cfg.seed))
+    resume_meta = None
     if cfg.start_checkpoint:
         # resume (ref train.py:112-114 --start_checkpoint)
         import pickle
@@ -151,6 +152,11 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
         ts.spatial_lr_scale = meta["spatial_lr_scale"]
         ts.iteration = meta["iteration"]
         model = ts.model
+        resume_meta = meta
+        if meta.get("rng_state") is not None:
+            # restore the camera-permutation RNG so a resumed run draws the
+            # same camera sequence as the continuous one (ADVICE r3)
+            ts.rng.bit_generator.state = meta["rng_state"]
         log.info("resumed from %s at iteration %d", cfg.start_checkpoint,
                  ts.iteration)
     log.info("init: %d anchors (capacity %d), voxel_size=%.6f",
@@ -165,16 +171,31 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
     step_fns: dict = {}
     eval_fns: dict = {}
     budget_now = budget   # instance budget; doubles on rasterizer overflow
+    order: list = []
+    if resume_meta is not None:
+        # a previously doubled budget / step key / pending camera order are
+        # part of the training state: restarting the budget from the CLI
+        # default re-pays overflow re-jits and diverges from the continuous
+        # run (ADVICE r3)
+        budget_now = int(resume_meta.get("budget", budget))
+        if resume_meta.get("key") is not None:
+            key = jnp.asarray(resume_meta["key"])
+        if resume_meta.get("cam_order") is not None:
+            order = list(resume_meta["cam_order"])
+
+    vis_cap_now = int(vis_cap) or None   # 0 = off; doubles on vis overflow
 
     def get_step(phase: str, width: int, height: int):
         # jitted per (phase, pool capacity, budget, resolution): mixed-
         # resolution scenes (ref scene/__init__.py:80-84 keeps camera lists
         # per resolution scale) each compile once and then share the cache
-        lk = (phase, model.buffers.alive.shape[0], budget_now, width, height)
+        lk = (phase, model.buffers.alive.shape[0], budget_now, width, height,
+              vis_cap_now)
         if lk not in step_fns:
             step_fns[lk] = make_train_step(
                 cfg, width, height, budget_now, phase,
-                tuple(ts.level_scales or ()), ts.spatial_lr_scale, ts.voxel_size)
+                tuple(ts.level_scales or ()), ts.spatial_lr_scale,
+                ts.voxel_size, vis_cap=vis_cap_now)
         return step_fns[lk]
 
     densify_jit: dict = {}
@@ -186,7 +207,6 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
                 p, b, a, cfg.model, cfg.opt, ts.voxel_size, k))
         return densify_jit[lk]
 
-    order: list = []
     pending_overflow = None
     t_start = time.time()
     opt = cfg.opt
@@ -236,7 +256,15 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
                         pending_overflow[0], budget_now)
             step_fns.clear()
             eval_fns.clear()
-        pending_overflow = (it, metrics.overflowed)
+        if (pending_overflow is not None and vis_cap_now is not None
+                and bool(pending_overflow[2])):
+            vis_cap_now *= 2
+            if vis_cap_now >= model.buffers.alive.shape[0] * cfg.model.n_offsets:
+                vis_cap_now = None   # cap ≥ pool: slicing buys nothing
+            log.warning("vis-cap overflow at iter %d → raising train vis_cap "
+                        "to %s (re-jit)", pending_overflow[0], vis_cap_now)
+            step_fns.clear()
+        pending_overflow = (it, metrics.overflowed, metrics.vis_overflowed)
 
         do_densify = (opt.update_from < it < opt.update_until
                       and it % opt.update_interval == 0
@@ -303,7 +331,11 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
                                        f"chkpnt{it}.meta.pkl"), "wb") as f:
                     pickle.dump(dict(iteration=it, voxel_size=ts.voxel_size,
                                      level_scales=ts.level_scales,
-                                     spatial_lr_scale=ts.spatial_lr_scale), f)
+                                     spatial_lr_scale=ts.spatial_lr_scale,
+                                     budget=budget_now,
+                                     key=np.asarray(key),
+                                     rng_state=ts.rng.bit_generator.state,
+                                     cam_order=list(order)), f)
             if cfg.model_path and it in cfg.save_iterations:
                 # model-snapshot channel (ref scene/__init__.py:98-101
                 # scene.save → point_cloud/iteration_N/{point_cloud.ply,

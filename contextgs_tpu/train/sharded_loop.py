@@ -66,6 +66,7 @@ def train_sharded(cfg: TrainConfig, scene: SceneInfo, n_devices: int, *,
                       rng=np.random.default_rng(cfg.seed))
 
     hp, hb, ha = model.params, model.buffers, adam
+    resume_meta = None
     if cfg.start_checkpoint:
         import pickle
         from contextgs_tpu.utils.checkpoint import load_pytree
@@ -86,6 +87,10 @@ def train_sharded(cfg: TrainConfig, scene: SceneInfo, n_devices: int, *,
         ts.level_scales = meta["level_scales"]
         ts.spatial_lr_scale = meta["spatial_lr_scale"]
         ts.iteration = meta["iteration"]
+        resume_meta = meta
+        if meta.get("rng_state") is not None:
+            # camera-permutation RNG continuity on resume (ADVICE r3)
+            ts.rng.bit_generator.state = meta["rng_state"]
         log.info("resumed (sharded) from %s at iteration %d",
                  cfg.start_checkpoint, ts.iteration)
 
@@ -109,6 +114,15 @@ def train_sharded(cfg: TrainConfig, scene: SceneInfo, n_devices: int, *,
     gts = [jnp.asarray(np.transpose(c.image, (2, 0, 1))) for c in cams]
 
     budget_now = budget
+    order: list = []
+    if resume_meta is not None:
+        # restore doubled budget / step key / pending camera order so a
+        # resumed run tracks the continuous one (ADVICE r3)
+        budget_now = int(resume_meta.get("budget", budget))
+        if resume_meta.get("key") is not None:
+            key = jnp.asarray(resume_meta["key"])
+        if resume_meta.get("cam_order") is not None:
+            order = list(resume_meta["cam_order"])
     step_fns: dict = {}
     densify_fns: dict = {}
 
@@ -144,7 +158,6 @@ def train_sharded(cfg: TrainConfig, scene: SceneInfo, n_devices: int, *,
             densify_fns.clear()
         return info_
 
-    order: list = []
     pending_overflow = None
     t_start = time.time()
     opt = cfg.opt
@@ -233,7 +246,30 @@ def train_sharded(cfg: TrainConfig, scene: SceneInfo, n_devices: int, *,
                     pickle.dump(dict(iteration=it, voxel_size=ts.voxel_size,
                                      level_scales=ts.level_scales,
                                      spatial_lr_scale=ts.spatial_lr_scale,
-                                     n_devices=n_devices), f)
+                                     n_devices=n_devices,
+                                     budget=budget_now,
+                                     key=np.asarray(key),
+                                     rng_state=ts.rng.bit_generator.state,
+                                     cam_order=list(order)), f)
+            if cfg.model_path and it in cfg.save_iterations:
+                # model-snapshot channel at save_iterations, matching the
+                # single-chip cadence (ADVICE r3: --warmup and PLY consumers
+                # expect point_cloud/iteration_N/ from either loop); gather
+                # the sharded model to host first
+                from contextgs_tpu.scene.snapshot import (save_model_ply,
+                                                          save_networks)
+                hp_, hb_ = jax.device_get(sp), jax.device_get(sb)
+                pc_dir = os.path.join(cfg.model_path, "point_cloud",
+                                      f"iteration_{it}")
+                os.makedirs(pc_dir, exist_ok=True)
+                save_model_ply(os.path.join(pc_dir, "point_cloud.ply"),
+                               hp_, hb_)
+                save_networks(
+                    os.path.join(pc_dir, "checkpoint.pth"), hp_,
+                    extra=dict(bound_min=np.asarray(hb_.bound_min),
+                               bound_max=np.asarray(hb_.bound_max),
+                               level_scales=ts.level_scales,
+                               voxel_size=ts.voxel_size, iteration=it))
 
     if pending_overflow is not None and bool(pending_overflow[1]):
         log.warning("raster budget overflow on the final iteration %d — "

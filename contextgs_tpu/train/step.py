@@ -34,12 +34,20 @@ class StepMetrics(NamedTuple):
     bit_per_param: jnp.ndarray
     n_visible_gauss: jnp.ndarray
     overflowed: jnp.ndarray
+    vis_overflowed: jnp.ndarray
 
 
 def make_train_step(cfg: TrainConfig, width: int, height: int, budget: int,
                     phase: str, level_scales: tuple,
-                    spatial_lr_scale: float, voxel_size: float):
-    """Build the jitted step for one (phase, resolution) configuration."""
+                    spatial_lr_scale: float, voxel_size: float,
+                    vis_cap: int | None = None):
+    """Build the jitted step for one (phase, resolution) configuration.
+
+    `vis_cap` (static) bounds rendered gaussians per view like the decoded
+    path (VERDICT r3 #4c): the splat gather table is sliced to the visible
+    prefix, keeping it scoped-VMEM-resident when the padded pool is much
+    larger than any view's visible set. Overflow surfaces in the metrics and
+    the host loop doubles the cap + re-jits (same reaction as the budget)."""
     mcfg, opt, pipe = cfg.model, cfg.opt, cfg.pipe
 
     @jax.jit
@@ -58,7 +66,8 @@ def make_train_step(cfg: TrainConfig, width: int, height: int, budget: int,
         def loss_fn(p, screen_dummy):
             out = render(p, buffers, mcfg, opt, pipe, cam, width, height, bg,
                          key, phase=phase, training=True, maps=maps,
-                         screen_dummy=screen_dummy, budget=budget)
+                         screen_dummy=screen_dummy, budget=budget,
+                         vis_cap=vis_cap)
             l1 = l1_loss(out.image, gt_image)
             ssim_v = ssim(out.image, gt_image)
             gv = out.gaussians.gauss_valid
@@ -97,7 +106,7 @@ def make_train_step(cfg: TrainConfig, width: int, height: int, budget: int,
             loss=loss, l1=l1, psnr=psnr(out.image, gt_image),
             bit_per_param=bpp,
             n_visible_gauss=jnp.sum(out.gaussians.gauss_valid),
-            overflowed=out.overflowed)
+            overflowed=out.overflowed, vis_overflowed=out.vis_overflowed)
         return new_params, new_buffers, new_adam, metrics
 
     return step

@@ -94,18 +94,28 @@ def main():
 
     @jax.jit
     def render_all(stk, bg):
-        def body(i, acc):
+        # accumulate the overflow flags across the chained views: a mid-run
+        # budget / vis-cap overflow silently truncates the deepest splats, so
+        # the amortized numbers are only valid if no view overflowed
+        # (ADVICE r3: evaluation.py:118 consumers must not discard the flags)
+        def body(i, carry):
+            acc, any_ovf = carry
             cam_i = {k: v[i] for k, v in stk.items()}
-            img = inner(cam_i, bg)[0]
-            return acc + jnp.mean(img)
-        return jax.lax.fori_loop(0, V, body, jnp.float32(0))
+            img, ovf, vovf = inner(cam_i, bg)
+            return acc + jnp.mean(img), any_ovf | ovf | vovf
+        return jax.lax.fori_loop(0, V, body, (jnp.float32(0),
+                                              jnp.asarray(False)))
 
-    out = render_all(stk, bg)
+    out, any_ovf = render_all(stk, bg)
     np.asarray(out)
     t0 = time.time()
-    out = render_all(stk, bg)
+    out, any_ovf = render_all(stk, bg)
     np.asarray(out)
     per_view_amort = (time.time() - t0) / V
+    if bool(any_ovf):
+        print("WARNING: instance-budget or vis-cap overflow during the "
+              "amortized run — deepest splats truncated; rerun with a larger "
+              "--budget for valid numbers")
     print(f"amortized (fori in jit):  {per_view_amort*1e3:8.2f} ms/view "
           f"= {1.0/per_view_amort:6.1f} FPS @ {W}x{H}, {N} anchors")
     print(f"dispatch overhead amortization: "

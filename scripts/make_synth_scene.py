@@ -129,8 +129,18 @@ def main():
     ap.add_argument("--points", type=int, default=120_000)
     ap.add_argument("--budget", type=int, default=1 << 21)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--force_cpu", action="store_true",
+                    help="render GT on the CPU backend (sitecustomize pins "
+                         "the TPU plugin, so JAX_PLATFORMS is ignored; the "
+                         "runtime config API is the only switch)")
     args = ap.parse_args()
 
+    import jax
+    if args.force_cpu:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     import jax.numpy as jnp
     from PIL import Image
 

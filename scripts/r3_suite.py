@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--iters", type=int, default=30_000)
     ap.add_argument("--voxel_size", type=float, default=0.01)
     ap.add_argument("--lmbdas", default="0.001,0.004,0.0005,0.002")
+    ap.add_argument("--extra_flags", default="",
+                    help="extra train.py flags, space-separated "
+                         "(e.g. '--train_vis_cap 524288')")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -59,6 +62,16 @@ def main():
             print("scene generation FAILED", flush=True)
             return 1
 
+    # a killed suite must still leave evidence (VERDICT r3 #7): SIGTERM is
+    # converted to an exception so the finally-block below records the
+    # in-flight run's last heartbeat before exiting
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt(f"signal {signum}")
+
+    signal.signal(signal.SIGTERM, _term)
+
     for lm in [float(x) for x in args.lmbdas.split(",")]:
         run_dir = os.path.join(args.out, f"l{lm:g}")
         res_path = os.path.join(run_dir, "results.json")
@@ -66,19 +79,26 @@ def main():
             print(f"skip λ={lm:g} (done)", flush=True)
             continue
         t0 = time.time()
-        rc = sh([sys.executable, "train.py", "-s", scene, "-m", run_dir,
-                 "--iterations", str(args.iters), "--lmbda", f"{lm:g}",
-                 "--voxel_size", str(args.voxel_size),
-                 "--no_tensorboard"], suite_log)
-        wall = time.time() - t0
-        entry = dict(lmbda=lm, iters=args.iters, wall_s=round(wall, 1),
-                     rc=rc)
-        if rc == 0 and os.path.exists(res_path):
-            with open(res_path) as f:
-                entry["results"] = json.load(f)
-        with open(summary, "a") as f:
-            f.write(json.dumps(entry) + "\n")
-        print(f"λ={lm:g}: rc={rc} in {wall:.0f}s", flush=True)
+        rc = None
+        try:
+            rc = sh([sys.executable, "train.py", "-s", scene, "-m", run_dir,
+                     "--iterations", str(args.iters), "--lmbda", f"{lm:g}",
+                     "--voxel_size", str(args.voxel_size), "--no_tensorboard"]
+                    + args.extra_flags.split(), suite_log)
+        finally:
+            wall = time.time() - t0
+            entry = dict(lmbda=lm, iters=args.iters, wall_s=round(wall, 1),
+                         rc=rc if rc is not None else "killed")
+            prog_path = os.path.join(run_dir, "progress.json")
+            if os.path.exists(prog_path):
+                with open(prog_path) as f:
+                    entry["last_progress"] = json.load(f)
+            if rc == 0 and os.path.exists(res_path):
+                with open(res_path) as f:
+                    entry["results"] = json.load(f)
+            with open(summary, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+            print(f"λ={lm:g}: rc={rc} in {wall:.0f}s", flush=True)
     print("suite done", flush=True)
     return 0
 

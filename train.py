@@ -12,9 +12,11 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import logging
 import os
 import sys
+import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_cc"))
@@ -62,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable_hyper", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--start_checkpoint", default=None)
+    p.add_argument("--train_vis_cap", type=int, default=0,
+                   help="bound rendered gaussians per training view (0=off): "
+                        "slices the splat gather table to the visible prefix "
+                        "of the depth sort like the decoded path; doubles on "
+                        "overflow")
     p.add_argument("--budget", type=int, default=1 << 20,
                    help="tile-instance budget for the rasterizer")
     p.add_argument("--n_offsets", type=int, default=None,
@@ -273,7 +280,21 @@ def main(argv=None):
             log.info("profiler trace written to %s",
                      os.path.join(cfg.model_path, "profile"))
 
+    def write_progress(it, loss, psnr, bpp):
+        # heartbeat for external monitors and post-mortems: a killed run
+        # leaves its last known state on disk (VERDICT r3 #7 — failure
+        # evidence must survive the process)
+        if not cfg.model_path or it % 100:
+            return
+        tmp = os.path.join(cfg.model_path, ".progress.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(dict(iteration=it, loss=loss, psnr=psnr, bpp=bpp,
+                           total=cfg.opt.iterations, ts=time.time()), f)
+        os.replace(tmp, os.path.join(cfg.model_path, "progress.json"))
+
     def tb_callback(it, ts_, metrics):
+        write_progress(it, float(metrics.loss), float(metrics.psnr),
+                       float(metrics.bit_per_param))
         if args.profile_steps and cfg.model_path and not prof["done"]:
             if it == prof_start and not prof["active"]:
                 jax.profiler.start_trace(
@@ -300,6 +321,8 @@ def main(argv=None):
         from contextgs_tpu.train.sharded_loop import train_sharded
 
         def mesh_callback(it, ts_, metrics):
+            write_progress(it, float(metrics["loss"]), float(metrics["psnr"]),
+                           float(metrics["bpp"]))
             if tb is not None and it % 100 == 0:
                 tb.add_scalar("train_loss_patches/total_loss",
                               float(metrics["loss"]), it)
@@ -309,7 +332,8 @@ def main(argv=None):
         ts = train_sharded(cfg, scene, args.mesh, budget=args.budget,
                            callback=mesh_callback)
     else:
-        ts = train(cfg, scene, budget=args.budget, callback=tb_callback)
+        ts = train(cfg, scene, budget=args.budget,
+                   vis_cap=args.train_vis_cap, callback=tb_callback)
     stop_profiler()   # close a trace whose window extended past training
     if args.warmup:
         # reboot from the just-saved PLY snapshot: its anchors become the
@@ -322,7 +346,8 @@ def main(argv=None):
         v = read_ply(ply_path)
         scene = dataclasses.replace(
             scene, points=np.stack([v["x"], v["y"], v["z"]], axis=1))
-        ts = train(cfg, scene, budget=args.budget, callback=tb_callback)
+        ts = train(cfg, scene, budget=args.budget,
+                   vis_cap=args.train_vis_cap, callback=tb_callback)
         stop_profiler()
     if viewer is not None:
         viewer.close()
