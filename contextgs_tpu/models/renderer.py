@@ -32,6 +32,8 @@ class RenderOutput(NamedTuple):
     aux: DecodeAux
     overflowed: jnp.ndarray
     vis_overflowed: jnp.ndarray  # [] bool — vis_cap exceeded (False if off)
+    n_instances: jnp.ndarray     # [] int32 — true tile-instance count
+    n_vis: jnp.ndarray           # [] int32 — gaussians touching >=1 tile
 
 
 def prefilter_voxel(params: st.Params, buffers: st.Buffers, cam: dict,
@@ -75,4 +77,5 @@ def render(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
     return RenderOutput(image=out.image, final_t=out.final_t, gaussians=ng,
                         radii=out.radii, visibility=out.visibility, aux=aux,
                         overflowed=out.overflowed,
-                        vis_overflowed=out.vis_overflowed)
+                        vis_overflowed=out.vis_overflowed,
+                        n_instances=out.n_instances, n_vis=out.n_vis)

@@ -41,6 +41,8 @@ class RasterOutput(NamedTuple):
     vis_overflowed: jnp.ndarray  # [] bool — visible gaussians exceeded
                               # vis_cap (deepest splats dropped); False when
                               # vis_cap is None
+    n_instances: jnp.ndarray  # [] int32 — tile instances before budget clamp
+    n_vis: jnp.ndarray        # [] int32 — gaussians touching >=1 tile
 
 
 def _float0_like(x):
@@ -275,4 +277,5 @@ def rasterize(
                else inst.n_vis > min(int(vis_cap), means3d.shape[0]))
     return RasterOutput(image=image, final_t=final_t, radii=proj.radii,
                         visibility=proj.radii > 0, overflowed=inst.overflowed,
-                        vis_overflowed=vis_ovf)
+                        vis_overflowed=vis_ovf, n_instances=inst.total,
+                        n_vis=inst.n_vis)

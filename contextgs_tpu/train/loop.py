@@ -49,6 +49,10 @@ class TrainerState:
 _BITS_FNS: dict = {}
 
 
+def _pow2ceil(n: int) -> int:
+    return 1 << max(int(n) - 1, 1).bit_length()
+
+
 def _estimate_bits(model: SceneModel, cfg: TrainConfig, ts: "TrainerState",
                    key) -> dict:
     """Model-estimated bitstream size in MB per stream (+ MLP fp32 bits)."""
@@ -184,6 +188,11 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
             order = list(resume_meta["cam_order"])
 
     vis_cap_now = int(vis_cap) or None   # 0 = off; doubles on vis overflow
+    vis_cap_enabled = bool(vis_cap)
+    wm_inst = 0         # instance-count watermark since the last adapt point
+    wm_vis = 0          # visible-gaussian watermark since the last adapt point
+    adapt_every = 512   # downward-adapt cadence (iters)
+    ts_start_it = ts.iteration
 
     def get_step(phase: str, width: int, height: int):
         # jitted per (phase, pool capacity, budget, resolution): mixed-
@@ -239,6 +248,7 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
         with_stats = jnp.asarray(opt.start_stat < it < opt.update_until)
         key, k_step = jax.random.split(key)
         step = get_step(phase, cams[ci].width, cams[ci].height)
+        ran_budget, ran_cap = budget_now, vis_cap_now
         params, buffers, adam, metrics = step(
             model.params, model.buffers, ts.adam, cam_devs[ci], gts[ci], bg,
             jnp.asarray(it, jnp.float32), with_stats, k_step)
@@ -249,22 +259,64 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
         # drops the deepest instances and corrupts training, so react like the
         # anchor pool does — double and re-jit. Checked one step DELAYED so the
         # read doesn't force a host↔device sync on the critical dispatch path.
-        if pending_overflow is not None and bool(pending_overflow[1]):
-            budget_now *= 2
-            log.warning("raster budget overflow at iter %d → doubling "
-                        "instance budget to %d (re-jit)",
-                        pending_overflow[0], budget_now)
-            step_fns.clear()
-            eval_fns.clear()
-        if (pending_overflow is not None and vis_cap_now is not None
-                and bool(pending_overflow[2])):
-            vis_cap_now *= 2
-            if vis_cap_now >= model.buffers.alive.shape[0] * cfg.model.n_offsets:
-                vis_cap_now = None   # cap ≥ pool: slicing buys nothing
-            log.warning("vis-cap overflow at iter %d → raising train vis_cap "
-                        "to %s (re-jit)", pending_overflow[0], vis_cap_now)
-            step_fns.clear()
-        pending_overflow = (it, metrics.overflowed, metrics.vis_overflowed)
+        # Each pending flag is tagged with the limit its step ran under: the
+        # delayed read means iteration N already ran with the OLD limit when
+        # the reaction lands, and reacting to that stale overflow would double
+        # a second time for the same underlying excess.
+        if pending_overflow is not None:
+            p_it, p_ovf, p_vovf, p_ninst, p_nvis, p_budget, p_cap = \
+                pending_overflow
+            # one consolidated fetch: each device_get pays a full dispatch
+            # roundtrip (tunnel backends: ~25 ms fixed)
+            p_ovf, p_vovf, p_ninst, p_nvis = (
+                np.asarray(x) for x in jax.device_get(
+                    (p_ovf, p_vovf, p_ninst, p_nvis)))
+            wm_inst = max(wm_inst, int(p_ninst))
+            wm_vis = max(wm_vis, int(p_nvis))
+            if bool(p_ovf) and p_budget == budget_now:
+                budget_now *= 2
+                log.warning("raster budget overflow at iter %d → doubling "
+                            "instance budget to %d (re-jit)", p_it, budget_now)
+                step_fns.clear()
+                eval_fns.clear()
+            if (vis_cap_now is not None and bool(p_vovf)
+                    and p_cap == vis_cap_now):
+                vis_cap_now *= 2
+                if (vis_cap_now
+                        >= model.buffers.alive.shape[0] * cfg.model.n_offsets):
+                    vis_cap_now = None   # cap ≥ pool: slicing buys nothing
+                log.warning("vis-cap overflow at iter %d → raising train "
+                            "vis_cap to %s (re-jit)", p_it, vis_cap_now)
+                step_fns.clear()
+        pending_overflow = (it, metrics.overflowed, metrics.vis_overflowed,
+                            metrics.n_instances, metrics.n_vis,
+                            ran_budget, ran_cap)
+
+        # downward adaptation at a fixed cadence: transients (the giant-splat
+        # first iterations, pre-densify states) can double the budget or cap
+        # far past steady state, and instance-proportional glue (sorts,
+        # gathers, ffills) then pays for the headroom every step. Shrink back
+        # to the observed watermark + margin, with 2x hysteresis so a shrink
+        # is always worth the re-jit.
+        if it % adapt_every == 0 and it > ts_start_it + 1:
+            tgt = max(budget, _pow2ceil(int(wm_inst * 1.3)))
+            if tgt <= budget_now // 2:
+                log.info("iter %d: instance watermark %d → shrinking budget "
+                         "%d → %d (re-jit)", it, wm_inst, budget_now, tgt)
+                budget_now = tgt
+                step_fns.clear()
+                eval_fns.clear()
+            if vis_cap_enabled and wm_vis > 0:
+                tgtc = _pow2ceil(int(wm_vis * 1.3))
+                pool_g = model.buffers.alive.shape[0] * cfg.model.n_offsets
+                if tgtc < pool_g and (vis_cap_now is None
+                                      or tgtc <= vis_cap_now // 2):
+                    log.info("iter %d: visible watermark %d → shrinking "
+                             "vis_cap %s → %d (re-jit)", it, wm_vis,
+                             vis_cap_now, tgtc)
+                    vis_cap_now = tgtc
+                    step_fns.clear()
+            wm_inst = wm_vis = 0
 
         do_densify = (opt.update_from < it < opt.update_until
                       and it % opt.update_interval == 0

@@ -194,19 +194,23 @@ def train_sharded(cfg: TrainConfig, scene: SceneInfo, n_devices: int, *,
         with_stats = jnp.asarray(opt.start_stat < it < opt.update_until)
         key, k_step = jax.random.split(key)
         step = get_step(phase, cams[ci].width, cams[ci].height)
+        ran_budget = budget_now
         sp, sb, sa, metrics = step(sp, sb, sa, cam_devs[ci], gts[ci], bg,
                                    jnp.asarray(it, jnp.float32), with_stats,
                                    k_step)
 
         # instance-budget overflow: same delayed reaction as the single-chip
-        # loop (train/loop.py) — double the budget and re-jit
-        if pending_overflow is not None and bool(pending_overflow[1]):
+        # loop (train/loop.py) — double the budget and re-jit; the pending
+        # flag is tagged with the budget its step ran under so a stale
+        # overflow (measured before the double landed) can't double twice
+        if (pending_overflow is not None and bool(pending_overflow[1])
+                and pending_overflow[2] == budget_now):
             budget_now *= 2
             log.warning("raster budget overflow at iter %d -> doubling "
                         "instance budget to %d (re-jit)",
                         pending_overflow[0], budget_now)
             step_fns.clear()
-        pending_overflow = (it, metrics["overflowed"])
+        pending_overflow = (it, metrics["overflowed"], ran_budget)
 
         do_densify = (opt.update_from < it < opt.update_until
                       and it % opt.update_interval == 0

@@ -35,6 +35,8 @@ class StepMetrics(NamedTuple):
     n_visible_gauss: jnp.ndarray
     overflowed: jnp.ndarray
     vis_overflowed: jnp.ndarray
+    n_instances: jnp.ndarray     # true tile-instance count (budget watermark)
+    n_vis: jnp.ndarray           # gaussians touching >=1 tile (cap watermark)
 
 
 def make_train_step(cfg: TrainConfig, width: int, height: int, budget: int,
@@ -106,7 +108,8 @@ def make_train_step(cfg: TrainConfig, width: int, height: int, budget: int,
             loss=loss, l1=l1, psnr=psnr(out.image, gt_image),
             bit_per_param=bpp,
             n_visible_gauss=jnp.sum(out.gaussians.gauss_valid),
-            overflowed=out.overflowed, vis_overflowed=out.vis_overflowed)
+            overflowed=out.overflowed, vis_overflowed=out.vis_overflowed,
+            n_instances=out.n_instances, n_vis=out.n_vis)
         return new_params, new_buffers, new_adam, metrics
 
     return step
