@@ -32,7 +32,8 @@ class _DecodedParams(NamedTuple):
 
 def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
                           height: int, budget: int = 1 << 18,
-                          vis_cap: int | None = None):
+                          vis_cap: int | None = None,
+                          anchor_cap: int | None = None):
     """Jitted renderer over a decoded (compacted) scene — the reference's
     decoded_version path (gaussian_renderer/__init__.py:103-104).
 
@@ -40,7 +41,18 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
     table slice — keeps the splat gather scoped-VMEM-resident at large
     scenes). Defaults to half the decoded pool (but at least 2^19) when the
     pool is big enough for the cap to matter; overflow doubles it, exactly
-    like the instance-budget reaction below."""
+    like the instance-budget reaction below.
+
+    `anchor_cap` compacts the frustum-visible anchors into a bounded [A]
+    working set BEFORE the MLP decode and rasterization (one packed row
+    gather), so every G-proportional stage — projection, depth/tile sorts,
+    splat gathers, ffills — runs at the view's visible size instead of the
+    full scene size. The CUDA reference gets this for free from its ragged
+    `opacity>0` compaction (ref gaussian_renderer/__init__.py:112-119); a
+    bounded gather is the static-shape equivalent. Defaults to half the
+    anchor pool (4096-bucketed) for scenes past 64k anchors; a view with
+    more visible anchors than the cap overflows and doubles it, same
+    reaction as the budget."""
     mcfg, pipe = cfg.model, cfg.pipe
     params = _DecodedParams(mlps=dec.mlps)
     # pad the anchor count to a 4096 bucket so renderer compiles are reused
@@ -59,21 +71,53 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
     offsets = pad(dec.offsets)
     masks = pad(dec.masks)   # padded slots: mask 0 → no gaussians
     backend = pipe.backend if pipe.backend != "auto" else "pallas"
+    K = mcfg.n_offsets
 
-    g_dec = n * mcfg.n_offsets
+    # one packed per-anchor row table for the compaction gather: full rows
+    # padded to a 128-column multiple are the row-gather fast path (see
+    # ops/rasterize/__init__._pack)
+    cols = [anchor, feat, scaling, offsets.reshape(n, -1), masks]
+    widths = [c.shape[1] for c in cols]
+    d_raw = sum(widths)
+    d = ((d_raw + 127) // 128) * 128
+    packed_rows = jnp.concatenate(
+        cols + [jnp.zeros((n, d - d_raw), jnp.float32)], axis=1)   # [n, d]
+
+    g_dec = n * K
     if vis_cap is None and g_dec > (1 << 20):
         vis_cap = max(1 << 19, g_dec // 2)
+    if anchor_cap is None and n > (1 << 16):
+        anchor_cap = max(1 << 15, ((n // 2 + 4095) // 4096) * 4096)
+    if anchor_cap is not None and anchor_cap >= n:
+        anchor_cap = None
 
-    def make_run(bdg: int, vcap):
+    def make_run(bdg: int, vcap, acap):
         @jax.jit
         def run(cam: dict, bg: jnp.ndarray):
             vis = rz.visible_filter(anchor, scaling[:, :3], cam["world_view"],
                                     cam["full_proj"], cam["tanfovx"],
                                     cam["tanfovy"], width, height)
-            ng = decode_neural_gaussians(
-                params, None, mcfg, cam["camera_center"], vis, feat=feat,
-                grid_scaling=scaling, grid_offsets=offsets, anchor=anchor,
-                binary_mask=masks)
+            anchor_ovf = jnp.asarray(False)
+            if acap is not None:
+                # stable partition: visible anchors first, then one bounded
+                # row gather of the packed table
+                idx = jnp.argsort(~vis, stable=True)[:acap]
+                sub = packed_rows[idx]                       # [acap, d]
+                o = np.cumsum([0] + widths)
+                a_s, f_s, s_s, off_s, m_s = (
+                    sub[:, o[i]:o[i + 1]] for i in range(5))
+                vis_sub = vis[idx]       # False rows = padding past the count
+                anchor_ovf = jnp.sum(vis) > acap
+                ng = decode_neural_gaussians(
+                    params, None, mcfg, cam["camera_center"], vis_sub,
+                    feat=f_s, grid_scaling=s_s,
+                    grid_offsets=off_s.reshape(acap, K, 3), anchor=a_s,
+                    binary_mask=m_s)
+            else:
+                ng = decode_neural_gaussians(
+                    params, None, mcfg, cam["camera_center"], vis, feat=feat,
+                    grid_scaling=scaling, grid_offsets=offsets, anchor=anchor,
+                    binary_mask=masks)
             out = rz.rasterize(ng.xyz, ng.scaling, ng.rot, ng.color,
                                ng.opacity,
                                world_view=cam["world_view"],
@@ -83,21 +127,21 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
                                tile_size=pipe.tile_size, budget=bdg,
                                chunk_size=pipe.chunk_size, backend=backend,
                                valid=ng.gauss_valid, vis_cap=vcap)
-            return out.image, out.overflowed, out.vis_overflowed
+            return out.image, out.overflowed, out.vis_overflowed, anchor_ovf
         return run
 
-    # instance-budget (or visible-cap) overflow silently truncates the
-    # deepest splats of exactly the renders used for reported PSNR — react
-    # like the train loop (train/loop.py budget doubling): double the
-    # overflowed limit and re-jit, then re-render.
-    state = {"budget": budget, "vis_cap": vis_cap,
-             "run": make_run(budget, vis_cap)}
+    # instance-budget (or visible-cap / anchor-cap) overflow silently
+    # truncates splats (or whole anchors) of exactly the renders used for
+    # reported PSNR — react like the train loop (train/loop.py budget
+    # doubling): double the overflowed limit and re-jit, then re-render.
+    state = {"budget": budget, "vis_cap": vis_cap, "anchor_cap": anchor_cap,
+             "run": make_run(budget, vis_cap, anchor_cap)}
 
     def render(cam: dict, bg: jnp.ndarray):
         import logging
         while True:
-            img, overflowed, vis_ovf = state["run"](cam, bg)
-            if not (bool(overflowed) or bool(vis_ovf)):
+            img, overflowed, vis_ovf, anchor_ovf = state["run"](cam, bg)
+            if not (bool(overflowed) or bool(vis_ovf) or bool(anchor_ovf)):
                 return img
             if bool(overflowed):
                 state["budget"] *= 2
@@ -110,11 +154,20 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
                 logging.getLogger("contextgs").warning(
                     "decoded-render visible-cap overflow → raising to %s "
                     "(re-jit)", state["vis_cap"])
-            state["run"] = make_run(state["budget"], state["vis_cap"])
+            if bool(anchor_ovf):
+                state["anchor_cap"] = (None
+                                       if state["anchor_cap"] * 2 >= n
+                                       else state["anchor_cap"] * 2)
+                logging.getLogger("contextgs").warning(
+                    "decoded-render anchor-cap overflow → raising to %s "
+                    "(re-jit)", state["anchor_cap"])
+            state["run"] = make_run(state["budget"], state["vis_cap"],
+                                    state["anchor_cap"])
 
     # amortized-dispatch consumers (scripts/fps_bench.py) chain many views
     # inside one jit; expose the current inner jitted fn (tracks budget /
-    # vis-cap doubling) — it returns (image, overflowed, vis_overflowed)
+    # vis-cap doubling) — it returns (image, overflowed, vis_overflowed,
+    # anchor_overflowed)
     render.inner = lambda: state["run"]
     return render
 

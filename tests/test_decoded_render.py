@@ -112,3 +112,46 @@ def test_decoded_render_recovers_from_budget_overflow(rng, tmp_path, caplog):
     assert any("overflow" in r.message for r in caplog.records), \
         "overflow was not logged"
     np.testing.assert_allclose(img_tiny, img_ref, atol=1e-5)
+
+
+def test_decoded_render_anchor_compaction_exact(rng, tmp_path, caplog):
+    """anchor_cap compacts the visible anchors into a bounded working set
+    before decode+rasterize; with enough capacity the image must be exact,
+    and an undersized cap must recover via the doubling reaction."""
+    import logging
+
+    pts = rng.uniform(-0.6, 0.6, (200, 3)) + np.array([0, 0, 2.5])
+    model, voxel = st.init_scene_model(jax.random.PRNGKey(0), pts, CFG)
+    p = model.params
+    p = p._replace(offsets=jax.random.normal(
+        jax.random.PRNGKey(3), p.offsets.shape) * 0.2)
+    b = model.buffers
+    scales = [4.0, 16.0]
+
+    out_dir = str(tmp_path / "bs")
+    encode_scene(p, b, CFG, scales, voxel, out_dir)
+    dec = decode_scene(out_dir, CFG)
+    cfg_full = TrainConfig(model=CFG, opt=OptimizationConfig(),
+                           pipe=PipelineConfig(backend="reference",
+                                               chunk_size=128))
+    cam = make_test_camera(width=W, height=H)
+    cd = {k: jnp.asarray(v) for k, v in cam.as_device_dict().items()}
+
+    plain = make_decoded_renderer(dec, cfg_full, W, H, budget=4096)
+    img_ref = np.asarray(plain(cd, jnp.zeros(3)))
+    n_anchors = dec.anchor.shape[0]
+
+    # cap ≥ visible set: exact
+    capped = make_decoded_renderer(dec, cfg_full, W, H, budget=4096,
+                                   anchor_cap=max(n_anchors, 8))
+    img_cap = np.asarray(capped(cd, jnp.zeros(3)))
+    np.testing.assert_allclose(img_cap, img_ref, atol=1e-5)
+
+    # undersized cap: overflow is logged, reaction doubles until exact
+    tiny = make_decoded_renderer(dec, cfg_full, W, H, budget=4096,
+                                 anchor_cap=8)
+    with caplog.at_level(logging.WARNING, logger="contextgs"):
+        img_tiny = np.asarray(tiny(cd, jnp.zeros(3)))
+    assert any("anchor-cap overflow" in r.message for r in caplog.records), \
+        "anchor-cap overflow was not logged"
+    np.testing.assert_allclose(img_tiny, img_ref, atol=1e-5)

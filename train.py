@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_iterations", nargs="+", type=int, default=None,
                    help="iterations at which to evaluate the test split "
                         "mid-training (default: final iteration)")
+    p.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                   default=None,
+                   help="iterations at which to write a resumable training "
+                        "checkpoint (ref train.py:257-259 --checkpoint_"
+                        "iterations); chkpnt{it}.pkl under model_path")
     p.add_argument("--warmup", action="store_true",
                    help="after training, reboot a second run initialized from "
                         "the saved PLY snapshot (ref train.py:669-672)")
@@ -153,6 +158,8 @@ def config_from_args(args) -> TrainConfig:
                        model_path=args.model_path, images=args.images,
                        seed=args.seed, start_checkpoint=args.start_checkpoint,
                        save_iterations=(args.iterations,),
+                       checkpoint_iterations=tuple(
+                           args.checkpoint_iterations or ()),
                        test_iterations=tuple(args.test_iterations
                                              or (args.iterations,)))
 
