@@ -125,7 +125,8 @@ def grow_capacity(model: SceneModel, adam: AdamState,
 
 
 def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
-          vis_cap: int = 0, callback=None) -> TrainerState:
+          vis_cap: int = 0, adapt_every: int = 512,
+          callback=None) -> TrainerState:
     """Run the full optimization; returns the final trainer state."""
     key = jax.random.PRNGKey(cfg.seed)
     key, k_init = jax.random.split(key)
@@ -191,7 +192,6 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
     vis_cap_enabled = bool(vis_cap)
     wm_inst = 0         # instance-count watermark since the last adapt point
     wm_vis = 0          # visible-gaussian watermark since the last adapt point
-    adapt_every = 512   # downward-adapt cadence (iters)
     ts_start_it = ts.iteration
 
     def get_step(phase: str, width: int, height: int):
@@ -299,7 +299,7 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
         # to the observed watermark + margin, with 2x hysteresis so a shrink
         # is always worth the re-jit.
         if it % adapt_every == 0 and it > ts_start_it + 1:
-            tgt = max(budget, _pow2ceil(int(wm_inst * 1.3)))
+            tgt = max(4096, _pow2ceil(int(wm_inst * 1.3)))
             if tgt <= budget_now // 2:
                 log.info("iter %d: instance watermark %d → shrinking budget "
                          "%d → %d (re-jit)", it, wm_inst, budget_now, tgt)

@@ -140,3 +140,32 @@ def test_training_through_raster_overflow(rng, caplog):
     assert any("raster budget overflow" in r.message for r in caplog.records)
     assert len(losses) == 8 and np.isfinite(losses).all()
     assert st.n_alive(ts.model) > 0
+
+
+@pytest.mark.slow
+def test_training_budget_shrinks_to_watermark(rng, caplog):
+    """An oversized instance budget (e.g. doubled on a transient) must shrink
+    back toward the observed instance watermark at the adapt cadence, so
+    instance-proportional glue stops paying for dead headroom (VERDICT r3 #4)."""
+    import logging
+    scene = _make_scene(rng, n_cams=2)
+    cfg = TrainConfig(
+        model=ModelConfig(feat_dim=8, n_offsets=4, voxel_size=0.05,
+                          level_num=3, capacity_headroom=3.0),
+        opt=OptimizationConfig(iterations=20, noise_from=100, context_from=200,
+                               start_stat=2, update_from=100,
+                               update_interval=10, update_until=200),
+        pipe=PipelineConfig(backend="reference", chunk_size=128),
+        log_every=1000,
+    )
+    losses = []
+    with caplog.at_level(logging.INFO, logger="contextgs_tpu"):
+        train(cfg, scene, budget=1 << 16, adapt_every=8,
+              callback=lambda it, ts_, m: losses.append(float(m.loss)))
+    shrinks = [r.message for r in caplog.records if "shrinking budget" in
+               r.message]
+    assert shrinks, "oversized budget was never shrunk"
+    # the shrink respects the watermark: training stays finite afterwards and
+    # no overflow doubling was triggered by an over-aggressive shrink
+    assert np.isfinite(losses).all()
+    assert not any("budget overflow" in r.message for r in caplog.records)
