@@ -97,7 +97,9 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
             vis = rz.visible_filter(anchor, scaling[:, :3], cam["world_view"],
                                     cam["full_proj"], cam["tanfovx"],
                                     cam["tanfovy"], width, height)
-            anchor_ovf = jnp.asarray(False)
+            # visible-anchor count: 0 signals "fits" so the reaction can
+            # right-size the cap from the actual count instead of doubling
+            n_vis_anchor = jnp.asarray(0, jnp.int32)
             if acap is not None:
                 # stable partition: visible anchors first, then one bounded
                 # row gather of the packed table
@@ -107,7 +109,8 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
                 a_s, f_s, s_s, off_s, m_s = (
                     sub[:, o[i]:o[i + 1]] for i in range(5))
                 vis_sub = vis[idx]       # False rows = padding past the count
-                anchor_ovf = jnp.sum(vis) > acap
+                nv = jnp.sum(vis).astype(jnp.int32)
+                n_vis_anchor = jnp.where(nv > acap, nv, 0)
                 ng = decode_neural_gaussians(
                     params, None, mcfg, cam["camera_center"], vis_sub,
                     feat=f_s, grid_scaling=s_s,
@@ -127,7 +130,7 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
                                tile_size=pipe.tile_size, budget=bdg,
                                chunk_size=pipe.chunk_size, backend=backend,
                                valid=ng.gauss_valid, vis_cap=vcap)
-            return out.image, out.overflowed, out.vis_overflowed, anchor_ovf
+            return out.image, out.overflowed, out.vis_overflowed, n_vis_anchor
         return run
 
     # instance-budget (or visible-cap / anchor-cap) overflow silently
@@ -155,12 +158,14 @@ def make_decoded_renderer(dec: DecodedScene, cfg: TrainConfig, width: int,
                     "decoded-render visible-cap overflow → raising to %s "
                     "(re-jit)", state["vis_cap"])
             if bool(anchor_ovf):
-                state["anchor_cap"] = (None
-                                       if state["anchor_cap"] * 2 >= n
-                                       else state["anchor_cap"] * 2)
+                # right-size from the actual visible count (+20% margin,
+                # 4096-bucketed); disable only when no bucket below n helps
+                want = ((int(anchor_ovf) * 6 // 5 + 4095) // 4096) * 4096
+                state["anchor_cap"] = want if want < n else None
                 logging.getLogger("contextgs").warning(
-                    "decoded-render anchor-cap overflow → raising to %s "
-                    "(re-jit)", state["anchor_cap"])
+                    "decoded-render anchor-cap overflow (%d visible) → "
+                    "raising to %s (re-jit)", int(anchor_ovf),
+                    state["anchor_cap"])
             state["run"] = make_run(state["budget"], state["vis_cap"],
                                     state["anchor_cap"])
 

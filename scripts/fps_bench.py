@@ -101,8 +101,8 @@ def main():
         def body(i, carry):
             acc, any_ovf = carry
             cam_i = {k: v[i] for k, v in stk.items()}
-            img, ovf, vovf, aovf = inner(cam_i, bg)
-            return acc + jnp.mean(img), any_ovf | ovf | vovf | aovf
+            img, ovf, vovf, n_vis_anchor = inner(cam_i, bg)
+            return acc + jnp.mean(img), any_ovf | ovf | vovf | (n_vis_anchor > 0)
         return jax.lax.fori_loop(0, V, body, (jnp.float32(0),
                                               jnp.asarray(False)))
 
