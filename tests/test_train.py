@@ -169,3 +169,41 @@ def test_training_budget_shrinks_to_watermark(rng, caplog):
     # no overflow doubling was triggered by an over-aggressive shrink
     assert np.isfinite(losses).all()
     assert not any("budget overflow" in r.message for r in caplog.records)
+
+
+@pytest.mark.slow
+def test_resume_matches_continuous_run(rng, tmp_path):
+    """Resuming from a checkpoint must reproduce the continuous run exactly:
+    the checkpoint meta carries the camera-permutation RNG, the step PRNG key,
+    the pending camera order, and the instance budget (ADVICE r3), so the
+    loss sequence after the resume point is bit-identical."""
+    scene = _make_scene(rng, n_cams=3)
+    base = dict(
+        model=ModelConfig(feat_dim=8, n_offsets=4, voxel_size=0.05,
+                          level_num=3, capacity_headroom=3.0),
+        pipe=PipelineConfig(backend="reference", chunk_size=128),
+        log_every=1000,
+    )
+    opt = dict(iterations=10, noise_from=100, context_from=200, start_stat=2,
+               update_from=100, update_interval=10, update_until=200)
+
+    losses_cont = []
+    cfg = TrainConfig(opt=OptimizationConfig(**opt), **base)
+    train(cfg, scene, budget=BUDGET,
+          callback=lambda it, ts_, m: losses_cont.append(float(m.loss)))
+
+    # run to iter 5 with a checkpoint, then resume 6..10
+    mp = str(tmp_path / "run")
+    cfg_a = TrainConfig(opt=OptimizationConfig(**opt | {"iterations": 5}),
+                        model_path=mp, checkpoint_iterations=(5,), **base)
+    losses_resume = []
+    train(cfg_a, scene, budget=BUDGET,
+          callback=lambda it, ts_, m: losses_resume.append(float(m.loss)))
+    cfg_b = TrainConfig(opt=OptimizationConfig(**opt), model_path=mp,
+                        start_checkpoint=f"{mp}/chkpnt5.pkl", **base)
+    train(cfg_b, scene, budget=BUDGET,
+          callback=lambda it, ts_, m: losses_resume.append(float(m.loss)))
+
+    assert len(losses_resume) == len(losses_cont) == 10
+    np.testing.assert_allclose(losses_resume[5:], losses_cont[5:], rtol=0,
+                               atol=0)
