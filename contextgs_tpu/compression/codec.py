@@ -353,6 +353,7 @@ def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
 def decode_scene(out_dir: str, cfg: ModelConfig, mlps_like=None,
                  prior_like=None) -> DecodedScene:
     """conduct_decoding equivalent: files → compacted decoded arrays."""
+    t0 = time.time()
     with open(os.path.join(out_dir, "meta.pkl"), "rb") as f:
         meta = pickle.load(f)
     n = meta["n"]
@@ -467,6 +468,9 @@ def decode_scene(out_dir: str, cfg: ModelConfig, mlps_like=None,
         scaling_state = scaling_state.at[jnp.asarray(idx)].set(
             jnp.asarray(scaling_out[idx]))
 
+    import logging
+    logging.getLogger("contextgs_tpu").info(
+        "decoded %d anchors in %.1fs", n, time.time() - t0)
     return DecodedScene(
         anchor=anchor_np, feat=feat_out, scaling=scaling_out,
         offsets=offsets_out.reshape(n, cfg.n_offsets, 3), masks=masks,
