@@ -31,6 +31,18 @@ BASELINE_MPIX_S = 150.0
 
 def main():
     import jax
+
+    # the single chip may still be held by a long training run for a short
+    # window (e.g. a run's encode tail at round end) — wait for it rather
+    # than reporting a broken number
+    for attempt in range(20):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            print(f"# device init failed (attempt {attempt}): {e}",
+                  file=sys.stderr)
+            time.sleep(30)
     import jax.numpy as jnp
     from contextgs_tpu.ops.rasterize import rasterize
 

@@ -14,10 +14,10 @@
 set -e
 OUT=${1:-/root/r4_bench}
 cd "$(dirname "$0")/.."
-python train.py -s "$OUT/scene" -m "$OUT/l0.0005" \
+timeout 10800 python train.py -s "$OUT/scene" -m "$OUT/l0.0005" \
     --iterations 30000 --lmbda 0.0005 --voxel_size 0.01 --no_tensorboard \
     --train_vis_cap 524288 --anchor_capacity 163840 \
-    --checkpoint_iterations 20000 \
+    --checkpoint_iterations 20000 25000 \
     --start_checkpoint "$OUT/l0.004/chkpnt10000.pkl" 2>&1 \
     | tee -a "$OUT/l2_branch.log"
 python - "$OUT" <<'EOF'
