@@ -43,6 +43,9 @@ def main():
             print(f"# device init failed (attempt {attempt}): {e}",
                   file=sys.stderr)
             time.sleep(30)
+    else:
+        sys.exit("TPU unavailable after 20 retries (~10 min) — another "
+                 "process is holding the chip; aborting bench")
     import jax.numpy as jnp
     from contextgs_tpu.ops.rasterize import rasterize
 

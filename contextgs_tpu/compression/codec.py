@@ -126,7 +126,7 @@ def _windowed_cdf_rows(mean: np.ndarray, scale: np.ndarray, q: np.ndarray,
     return np.clip(c, 0.0, 1.0)
 
 
-def _code_stream(x, mean, scale, q):
+def _code_stream(x, mean, scale, q, stats=None):
     """Encode one flat stream → (bytes, window, escape bytes, dequantized).
 
     Symbols are STE-clamped (ref encodings.py:203-216); the chunk's window
@@ -134,7 +134,12 @@ def _code_stream(x, mean, scale, q):
     fall outside code the nearest window EDGE as an escape and append their
     true relative symbol to a raw int32 side stream — encode∘decode is exactly
     lossless with no saturation (matching the reference, whose tables always
-    span the true min/max)."""
+    span the true min/max).
+
+    When `stats` (a dict) is passed, accumulates the per-chunk bit-cost
+    decomposition used to audit actual-vs-estimate (VERDICT r4 weak #3):
+    ideal gaussian cross-entropy of the coded symbols, float-windowed-CDF
+    cost, quantized-uint16-CDF cost, payload bytes, escape count/bytes."""
     if x.size == 0:
         return b"", MIN_WINDOW, b"", x.astype(np.float32)
     x = np.clip(x, -CLAMP_STEPS * q, CLAMP_STEPS * q)
@@ -152,8 +157,31 @@ def _code_stream(x, mean, scale, q):
     esc = (win == 0) | (win == w - 1)
     side = rel[esc].astype(np.int32).tobytes()
     deq = ((base + rel).astype(np.float32) * q.astype(np.float32))
-    rows = coder.quantize_cdf(_windowed_cdf_rows(mean, scale, q, base, w))
+    fcdf = _windowed_cdf_rows(mean, scale, q, base, w)
+    rows = coder.quantize_cdf(fcdf)
     data = coder.encode(rows, win)
+    if stats is not None:
+        ar = np.arange(x.size)
+        qd = q.astype(np.float64)
+        zlo = ((s.astype(np.float64) - 0.5) * qd
+               - mean.astype(np.float64)) / np.maximum(scale, 1e-9)
+        zhi = zlo + qd / np.maximum(scale, 1e-9)
+        p_ideal = np.maximum(ndtr(zhi) - ndtr(zlo), 1e-12)
+        p_win = np.maximum(fcdf[ar, win + 1] - fcdf[ar, win], 1e-12)
+        wq = np.diff(rows.astype(np.int64) & 0xFFFF, axis=-1)
+        wq[:, -1] += 1 << 16     # top value stored mod 2^16
+        p_q = wq[ar, win] / 65536.0
+        stats["n_sym"] = stats.get("n_sym", 0) + x.size
+        stats["ideal_bits"] = (stats.get("ideal_bits", 0.0)
+                               - float(np.log2(p_ideal).sum()))
+        stats["win_bits"] = (stats.get("win_bits", 0.0)
+                             - float(np.log2(p_win).sum()))
+        stats["qcdf_bits"] = (stats.get("qcdf_bits", 0.0)
+                              - float(np.log2(p_q).sum()))
+        stats["payload_bits"] = stats.get("payload_bits", 0) + len(data) * 8
+        stats["escape_bits"] = stats.get("escape_bits", 0) + len(side) * 8
+        stats["n_escape"] = stats.get("n_escape", 0) + int(esc.sum())
+        stats.setdefault("windows", []).append(w)
     return data, w, side, deq
 
 
@@ -187,7 +215,8 @@ def _ep_host(ep, idx):
 
 def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
                  level_scales: list, voxel_size: float, out_dir: str,
-                 disable_hyper: bool = False, return_states: bool = False):
+                 disable_hyper: bool = False, return_states: bool = False,
+                 stream_stats: dict | None = None):
     """conduct_encoding equivalent. Returns a size breakdown in bits
     (plus the encoder-side dequantized states when return_states, for the
     round-trip bit-exactness tests)."""
@@ -291,18 +320,24 @@ def encode_scene(params: st.Params, buffers: st.Buffers, cfg: ModelConfig,
             qs = np.repeat(eph["q_scaling"][sl], 6, axis=1).reshape(-1)
             qo = np.repeat(eph["q_offsets"][sl], 3 * cfg.n_offsets,
                            axis=1).reshape(-1)
+            sst = (None if stream_stats is None else
+                   {k: stream_stats.setdefault(k, {})
+                    for k in ("feat", "scaling", "offsets")})
             d_f, w_f, e_f, deq_f = _code_stream(
                 feat_np[rows].reshape(-1), eph["mean_feat"][sl].reshape(-1),
-                eph["scale_feat"][sl].reshape(-1), qf)
+                eph["scale_feat"][sl].reshape(-1), qf,
+                stats=None if sst is None else sst["feat"])
             d_s, w_s, e_s, deq_s = _code_stream(
                 scaling_np[rows].reshape(-1),
                 eph["mean_scaling"][sl].reshape(-1),
-                eph["scale_scaling"][sl].reshape(-1), qs)
+                eph["scale_scaling"][sl].reshape(-1), qs,
+                stats=None if sst is None else sst["scaling"])
             m3 = np.repeat(masks[rows], 3, axis=1).reshape(-1).astype(bool)
             d_o, w_o, e_o, deq_o = _code_stream(
                 offsets_np[rows].reshape(-1)[m3],
                 eph["mean_offsets"][sl].reshape(-1)[m3],
-                eph["scale_offsets"][sl].reshape(-1)[m3], qo[m3])
+                eph["scale_offsets"][sl].reshape(-1)[m3], qo[m3],
+                stats=None if sst is None else sst["offsets"])
             # chunk layout in the stream file: [range-coded bytes][escape i32s]
             streams["feat"].append(d_f + e_f)
             streams["scaling"].append(d_s + e_s)

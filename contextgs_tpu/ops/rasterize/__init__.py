@@ -277,5 +277,5 @@ def rasterize(
                else inst.n_vis > min(int(vis_cap), means3d.shape[0]))
     return RasterOutput(image=image, final_t=final_t, radii=proj.radii,
                         visibility=proj.radii > 0, overflowed=inst.overflowed,
-                        vis_overflowed=vis_ovf, n_instances=inst.total,
+                        vis_overflowed=vis_ovf, n_instances=inst.demand,
                         n_vis=inst.n_vis)

@@ -68,7 +68,10 @@ class TileInstances(NamedTuple):
     tile_ids: jnp.ndarray      # [B_pad] int32 tile id (sentinel n_tiles for pads)
     tile_bounds: jnp.ndarray   # [n_tiles+1] int32 aligned segment boundaries
     valid: jnp.ndarray         # [B_pad] bool
-    total: jnp.ndarray         # [] int32 true number of instances (pre-align)
+    total: jnp.ndarray         # [] int32 number of VALID instances — clamped
+                               # to the budget (slot validity derives from it)
+    demand: jnp.ndarray        # [] int32 pre-clamp instance count: the true
+                               # demand, may exceed the budget (watermark)
     overflowed: jnp.ndarray    # [] bool — budget exceeded, tail instances dropped
     perm: jnp.ndarray          # [B] int32 depth-order slot → aligned position
                                # (b_pad for dropped/pad slots)
@@ -158,9 +161,9 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     offsets = (incl - counts).astype(jnp.int32)                # exclusive
     seg_bounds = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                   incl.astype(jnp.int32)])
-    total = incl[-1] if G > 0 else jnp.int32(0)
-    overflowed = total > budget
-    total = jnp.minimum(total, budget)
+    demand = incl[-1].astype(jnp.int32) if G > 0 else jnp.int32(0)
+    overflowed = demand > budget
+    total = jnp.minimum(demand, budget)
 
     slots = jnp.arange(budget, dtype=jnp.int32)
     valid = slots < total
@@ -428,7 +431,8 @@ def expand_and_sort(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
     return TileInstances(rank_aligned=out_rank, src_slot=out_src,
                          rank_slot=rank, gauss_ids=out_gauss,
                          tile_ids=out_tile, tile_bounds=bounds,
-                         valid=out_valid, total=total, overflowed=overflowed,
+                         valid=out_valid, total=total, demand=demand,
+                         overflowed=overflowed,
                          perm=perm, order=order, inv_order=inv_order,
                          seg_bounds=seg_bounds,
                          n_vis=jnp.sum(b_cnt > 0).astype(jnp.int32))

@@ -136,7 +136,9 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, width: int,
                                    bound_max=bound_max, opacity_accum=None,
                                    anchor_denom=None, offset_grad_accum=None,
                                    offset_denom=None)
-            maps = build_level_maps(jax.lax.stop_gradient(anchor_q), alive,
+            # kept-set membership, matching the encoder (see train/step.py)
+            kept = st.get_mask_anchor(params, alive)
+            maps = build_level_maps(jax.lax.stop_gradient(anchor_q), kept,
                                     voxel_size, level_scales, mcfg.level_num)
             kc, kr = jax.random.split(key)
             ctx = multi_scale_generate(params, fake_buffers, mcfg, maps,
@@ -358,7 +360,16 @@ def reshard_anchors(params: Params, buffers: Buffers, adam: AdamState,
     n_dupes = len(ai) - len(keep)
 
     if level_scales:
-        root = compute_tree_roots(anchor, alive, voxel_size, level_scales,
+        # colocate by KEPT-set trees (alive ∧ mask_anchor): the training step
+        # now builds level maps over the kept membership (see train/step.py),
+        # so parent locality must be established on the same forest. Non-kept
+        # anchors are their own roots and land wherever their hash says —
+        # they have no parents/children in the kept hierarchy. Mask flips
+        # between reshard points can transiently break locality; the next
+        # reshard restores it (same bounded-approximation class as the
+        # per-shard densify subsampling).
+        mask_np = np.asarray(st.get_mask_anchor(params, jnp.asarray(alive)))
+        root = compute_tree_roots(anchor, mask_np, voxel_size, level_scales,
                                   level_num)[keep].astype(np.int64)
         shard = ((root * 2654435761) % 2**31) % n_dev
     else:

@@ -70,7 +70,9 @@ def _estimate_bits(model: SceneModel, cfg: TrainConfig, ts: "TrainerState",
         @jax.jit
         def fn(p, b, key):
             anchor_q = st.get_anchor(p, b)
-            maps = build_level_maps(anchor_q, b.alive, vox, scales,
+            # kept-set membership, matching the encoder (see train/step.py)
+            kept = st.get_mask_anchor(p, b.alive)
+            maps = build_level_maps(anchor_q, kept, vox, scales,
                                     cfg.model.level_num)
             return estimate_total_bits(p, b, cfg.model, maps, anchor_q, key,
                                        disable_hyper=cfg.opt.disable_hyper)
@@ -192,6 +194,14 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
     vis_cap_enabled = bool(vis_cap)
     wm_inst = 0         # instance-count watermark since the last adapt point
     wm_vis = 0          # visible-gaussian watermark since the last adapt point
+    if resume_meta is not None and "vis_cap" in resume_meta:
+        # the continuous run may have doubled (overflow) or watermark-shrunk
+        # its cap; restarting from the CLI value makes a resumed run truncate
+        # different splats until it re-overflows, breaking branch
+        # bit-exactness (ADVICE r4). Watermarks restore the in-flight adapt
+        # window too.
+        vis_cap_now = resume_meta["vis_cap"]
+        wm_inst, wm_vis = resume_meta.get("watermarks", (0, 0))
     ts_start_it = ts.iteration
 
     def get_step(phase: str, width: int, height: int):
@@ -385,6 +395,8 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
                                      level_scales=ts.level_scales,
                                      spatial_lr_scale=ts.spatial_lr_scale,
                                      budget=budget_now,
+                                     vis_cap=vis_cap_now,
+                                     watermarks=(wm_inst, wm_vis),
                                      key=np.asarray(key),
                                      rng_state=ts.rng.bit_generator.state,
                                      cam_order=list(order)), f)

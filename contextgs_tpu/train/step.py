@@ -59,8 +59,16 @@ def make_train_step(cfg: TrainConfig, width: int, height: int, budget: int,
         maps = None
         if phase == "context":
             anchor_q = st.get_anchor(params, buffers)
+            # level membership over the KEPT set (alive ∧ mask_anchor), not
+            # all alive anchors: the encoder compacts to kept anchors before
+            # building levels (codec.py, ref gaussian_model.py:1031-1038), so
+            # training with full-alive membership teaches the context MLPs
+            # parents they never see at coding time — measured +50% feat
+            # bits at 77k anchors (r5 codec audit). Masked anchors render
+            # nothing and carry no rate, so excluding them is free.
+            kept = st.get_mask_anchor(params, buffers.alive)
             maps = build_level_maps(jax.lax.stop_gradient(anchor_q),
-                                    buffers.alive, voxel_size,
+                                    kept, voxel_size,
                                     level_scales, mcfg.level_num)
         nk = params.offsets.shape[0] * mcfg.n_offsets
         screen_dummy0 = jnp.zeros((nk, 2), jnp.float32)
@@ -126,7 +134,9 @@ def make_eval_render(cfg: TrainConfig, width: int, height: int, budget: int,
         maps = None
         if phase == "context":
             anchor_q = st.get_anchor(params, buffers)
-            maps = build_level_maps(anchor_q, buffers.alive, voxel_size,
+            # kept-set membership, matching the encoder (see make_train_step)
+            kept = st.get_mask_anchor(params, buffers.alive)
+            maps = build_level_maps(anchor_q, kept, voxel_size,
                                     level_scales, mcfg.level_num)
         out = render(params, buffers, mcfg, opt, pipe, cam, width, height, bg,
                      key, phase=phase, training=False, maps=maps,

@@ -53,6 +53,8 @@ def main():
     # killed attempt's partial entry
     for e in reversed(entries):
         lm = e.get("lmbda")
+        if lm is None:   # malformed/hand-written entry: skip, don't crash
+            continue
         key = f"l{lm:g}"
         if key in seen:
             continue

@@ -47,7 +47,9 @@ def main(argv=None):
 
     ckpt_path = args.checkpoint
     if ckpt_path is None:
-        cands = sorted(glob.glob(os.path.join(args.model_path, "chkpnt*.pkl")),
+        cands = sorted((q for q in glob.glob(os.path.join(args.model_path,
+                                                          "chkpnt*.pkl"))
+                        if not q.endswith(".meta.pkl")),
                        key=lambda p: int("".join(filter(str.isdigit,
                                                         os.path.basename(p)))))
         if not cands:

@@ -287,12 +287,17 @@ def main(argv=None):
             log.info("profiler trace written to %s",
                      os.path.join(cfg.model_path, "profile"))
 
-    def write_progress(it, loss, psnr, bpp):
+    def write_progress(it, get_lpb):
         # heartbeat for external monitors and post-mortems: a killed run
         # leaves its last known state on disk (VERDICT r3 #7 — failure
-        # evidence must survive the process)
+        # evidence must survive the process). get_lpb is a thunk so the
+        # float() device fetches only happen past the cadence gate — an
+        # unconditional float(metrics.*) would block on the just-dispatched
+        # step every iteration and defeat the loop's one-step-delayed
+        # overflow read (ADVICE r4).
         if not cfg.model_path or it % 100:
             return
+        loss, psnr, bpp = get_lpb()
         tmp = os.path.join(cfg.model_path, ".progress.json.tmp")
         with open(tmp, "w") as f:
             json.dump(dict(iteration=it, loss=loss, psnr=psnr, bpp=bpp,
@@ -300,8 +305,8 @@ def main(argv=None):
         os.replace(tmp, os.path.join(cfg.model_path, "progress.json"))
 
     def tb_callback(it, ts_, metrics):
-        write_progress(it, float(metrics.loss), float(metrics.psnr),
-                       float(metrics.bit_per_param))
+        write_progress(it, lambda: (float(metrics.loss), float(metrics.psnr),
+                                    float(metrics.bit_per_param)))
         if args.profile_steps and cfg.model_path and not prof["done"]:
             if it == prof_start and not prof["active"]:
                 jax.profiler.start_trace(
@@ -328,8 +333,9 @@ def main(argv=None):
         from contextgs_tpu.train.sharded_loop import train_sharded
 
         def mesh_callback(it, ts_, metrics):
-            write_progress(it, float(metrics["loss"]), float(metrics["psnr"]),
-                           float(metrics["bpp"]))
+            write_progress(it, lambda: (float(metrics["loss"]),
+                                        float(metrics["psnr"]),
+                                        float(metrics["bpp"])))
             if tb is not None and it % 100 == 0:
                 tb.add_scalar("train_loss_patches/total_loss",
                               float(metrics["loss"]), it)
