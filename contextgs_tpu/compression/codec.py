@@ -103,6 +103,33 @@ def _dequantize_anchor_np(codes: np.ndarray, bmin: np.ndarray,
     return (codes.astype(np.float32) * interval + bmin.astype(np.float32))
 
 
+def _choose_window(abs_res: np.ndarray) -> int:
+    """Pick the chunk's window width by total-cost model, not max residual.
+
+    Growing the window to cover every residual (the round-4 policy) is doubly
+    expensive: the uint16 CDF's >=1-unit bin floor taxes EVERY symbol by
+    ~(w-1)/65536 of its probability mass (-n·log2(1-(w-1)/2^16) bits), and
+    CDF-row construction costs n·(w+1) ndtr evaluations — at w=2048 the
+    table build dominated encode wall time (158 s at 77k anchors, r4).
+    Escapes instead cost ~16 payload bits + the edge-bin surprise (edge bins
+    absorb the full gaussian tail, so signalling is cheap). Minimizing the
+    modeled total picks small windows with a few escapes over huge windows
+    with none; the decoder reads w from the chunk metadata either way."""
+    n = abs_res.size
+    best_w, best_cost = MAX_WINDOW, None
+    w = MIN_WINDOW
+    while True:
+        esc = int((abs_res > (w // 2 - 2)).sum())
+        cost = (n * -np.log2(1.0 - (w - 1) / 65536.0)
+                + esc * (16.0 + 10.0))   # payload + nominal edge surprise
+        if best_cost is None or cost < best_cost:
+            best_w, best_cost = w, cost
+        if w >= MAX_WINDOW or esc == 0:
+            break
+        w *= 2
+    return best_w
+
+
 def _window_base(mean: np.ndarray, q: np.ndarray, w: int) -> np.ndarray:
     """Per-element window base symbol = round(μ/Q) − W/2, recomputed
     identically by encoder and decoder (host float64)."""
@@ -120,7 +147,19 @@ def _windowed_cdf_rows(mean: np.ndarray, scale: np.ndarray, q: np.ndarray,
     offs = (np.arange(w + 1, dtype=np.float64) - 0.5)[None, :]
     edges = (base[:, None] + offs) * q[:, None].astype(np.float64)
     z = (edges - mean[:, None]) / np.maximum(scale, 1e-9)[:, None]
-    c = ndtr(z)
+    # For wide windows, evaluate ndtr only inside ±6σ: beyond it ndtr is 0/1
+    # to <1e-9, far below the uint16 quantization grid, and saturated entries
+    # dominate wide windows (the encode/decode wall-time sink — 15.8 s of a
+    # 24 s encode at 77k anchors was CDF builds). For narrow windows most
+    # entries are live and the boolean-gather overhead would exceed the
+    # savings, so evaluate directly. Encoder and decoder share this function,
+    # so the round trip stays bit-exact by construction either way.
+    if w > 128:
+        c = np.where(z > 0, 1.0, 0.0)
+        m = np.abs(z) < 6.0
+        c[m] = ndtr(z[m])
+    else:
+        c = ndtr(z)
     c[:, 0] = 0.0
     c[:, -1] = 1.0
     return np.clip(c, 0.0, 1.0)
@@ -145,22 +184,32 @@ def _code_stream(x, mean, scale, q, stats=None):
     x = np.clip(x, -CLAMP_STEPS * q, CLAMP_STEPS * q)
     s = np.round(x.astype(np.float64) / q).astype(np.int64)
     mu_sym = np.round(mean.astype(np.float64) / q.astype(np.float64)).astype(np.int64)
-    spread = int(np.abs(s - mu_sym).max()) if s.size else 0
-    w = MIN_WINDOW
-    while w < 2 * spread + 2 and w < MAX_WINDOW:
-        w *= 2
+    w = _choose_window(np.abs(s - mu_sym))
     base = _window_base(mean, q, w)
     rel = s - base                                       # true relative symbol
     win = np.clip(rel, 0, w - 1).astype(np.int32)
     # edge symbols always carry an escape payload (even when the true value
     # happens to BE the edge) so the decoder needs no extra signalling
     esc = (win == 0) | (win == w - 1)
-    side = rel[esc].astype(np.int32).tobytes()
+    esc_rel = rel[esc]
+    # escapes fit int16 in practice (symbols are clamped to ±15000 steps and
+    # the window base tracks the predicted mean); pay int32 only when the
+    # model mean has diverged that far. Encoded as |w| sign in the metadata:
+    # w > 0 → int16 payload, w < 0 → int32 (backward compatible: old streams
+    # always stored positive w with int32 payloads via the 3-tuple format).
+    use16 = (esc_rel.size == 0
+             or (esc_rel.min() >= -32768 and esc_rel.max() < 32768))
+    side = esc_rel.astype(np.int16 if use16 else np.int32).tobytes()
     deq = ((base + rel).astype(np.float32) * q.astype(np.float32))
+    t0 = time.perf_counter()
     fcdf = _windowed_cdf_rows(mean, scale, q, base, w)
     rows = coder.quantize_cdf(fcdf)
+    t1 = time.perf_counter()
     data = coder.encode(rows, win)
+    t2 = time.perf_counter()
     if stats is not None:
+        stats["cdf_s"] = stats.get("cdf_s", 0.0) + (t1 - t0)
+        stats["coder_s"] = stats.get("coder_s", 0.0) + (t2 - t1)
         ar = np.arange(x.size)
         qd = q.astype(np.float64)
         zlo = ((s.astype(np.float64) - 0.5) * qd
@@ -194,10 +243,17 @@ def _decode_stream(data, side, mean, scale, q, w: int):
     win = coder.decode(rows, data).astype(np.int64)
     rel = win
     esc = (win == 0) | (win == w - 1)
-    vals = np.frombuffer(side, dtype="<i4").astype(np.int64)
-    assert vals.size == int(esc.sum()), \
-        f"escape side stream mismatch: {vals.size} vs {int(esc.sum())}"
-    rel[esc] = vals
+    n_esc = int(esc.sum())
+    if n_esc:
+        # payload width is deducible: bytes / escape count (int16 for new
+        # streams, int32 for pre-r5 streams — no format flag needed)
+        itemsize = len(side) // n_esc
+        assert itemsize in (2, 4) and len(side) == n_esc * itemsize, \
+            f"escape side stream mismatch: {len(side)}B for {n_esc} escapes"
+        vals = np.frombuffer(side, dtype=f"<i{itemsize}").astype(np.int64)
+        rel[esc] = vals
+    else:
+        assert len(side) == 0, "unexpected escape bytes"
     return (base + rel).astype(np.float32) * q.astype(np.float32)
 
 

@@ -309,7 +309,12 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
         # to the observed watermark + margin, with 2x hysteresis so a shrink
         # is always worth the re-jit.
         if it % adapt_every == 0 and it > ts_start_it + 1:
-            tgt = max(4096, _pow2ceil(int(wm_inst * 1.3)))
+            # align-granular target (any multiple of the 128-lane chunk is a
+            # valid static shape), not pow2: pow2ceil(548k·1.3) would pick a
+            # 1M budget where 712k suffices, and every instance-proportional
+            # glue op (sorts, gathers, ffills) pays for the rounding. The 2x
+            # hysteresis below still bounds re-jit frequency.
+            tgt = max(4096, -(-int(wm_inst * 1.3) // 256) * 256)
             if tgt <= budget_now // 2:
                 log.info("iter %d: instance watermark %d → shrinking budget "
                          "%d → %d (re-jit)", it, wm_inst, budget_now, tgt)
@@ -317,7 +322,7 @@ def train(cfg: TrainConfig, scene: SceneInfo, *, budget: int = 1 << 18,
                 step_fns.clear()
                 eval_fns.clear()
             if vis_cap_enabled and wm_vis > 0:
-                tgtc = _pow2ceil(int(wm_vis * 1.3))
+                tgtc = -(-int(wm_vis * 1.3) // 256) * 256   # align-granular
                 pool_g = model.buffers.alive.shape[0] * cfg.model.n_offsets
                 if tgtc < pool_g and (vis_cap_now is None
                                       or tgtc <= vis_cap_now // 2):

@@ -69,9 +69,13 @@ def main():
         it_done = (e["iters"] if res else prog.get("iteration", "?"))
         row = dict(lmbda=lm, iters=it_done, rc=e.get("rc"))
         if res:
-            # results.json is {name: {...}} keyed by split name
-            first = next(iter(res.values())) if all(
-                isinstance(v, dict) for v in res.values()) else res
+            # results.json is {name: {...}} keyed by split name; prefer the
+            # round-5 re-encode entry (test.py writes "ours_from_ckpt") over
+            # the in-training "ours" so the table reflects the current codec
+            if all(isinstance(v, dict) for v in res.values()):
+                first = res.get("ours_from_ckpt") or next(iter(res.values()))
+            else:
+                first = res
             row.update(PSNR=first.get("PSNR"), SSIM=first.get("SSIM"),
                        size_MB=first.get("size_MB"), FPS=first.get("FPS"))
         row.update(log)

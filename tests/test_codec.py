@@ -102,7 +102,10 @@ def test_stream_escape_outliers():
     x[::50] = 100.0      # residual ≈ 10_000 steps ≫ MAX_WINDOW
     x[25::50] = -80.0
     data, w, side, deq = _code_stream(x, mean, scale, q)
-    assert w == MAX_WINDOW and len(side) > 0
+    # r5: the window is cost-modeled (escapes are cheaper than taxing every
+    # symbol with a huge window's CDF floor) — outliers go to the escape
+    # stream regardless of w
+    assert MAX_WINDOW >= w >= 64 and len(side) > 0
     out = _decode_stream(data, side, mean, scale, q, w)
     np.testing.assert_array_equal(out, deq)
     # decoded equals the exact quantization of x: outliers NOT saturated
