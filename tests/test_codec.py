@@ -130,3 +130,32 @@ def test_codec_roundtrip_with_feat_outliers(rng, tmp_path):
     kept = feat[alive]
     # the outlier rows decode to their true (unsaturated) quantized values
     assert np.abs(dec.feat - kept).max() < 1.01
+
+
+def test_actual_bits_track_model_estimate(rng, tmp_path):
+    """Coded payload must track the model's own rate estimate (VERDICT r4
+    weak #3 / r5 fix): the estimate and the encoder now build the SAME
+    kept-set level maps, so the symbols the coder sees are the symbols the
+    estimate priced. Actual may run slightly above (coder slack, CDF floor,
+    chunk metadata) but a structural context mismatch shows up as tens of
+    percent — pin the contract at +5%."""
+    from contextgs_tpu.models.context import estimate_total_bits
+    from contextgs_tpu.models.levels import build_level_maps
+
+    model, voxel = _trainedish_model(rng, n_pts=400)
+    p, b = model.params, model.buffers
+    scales = [4.0, 16.0]
+    out = str(tmp_path / "bs_contract")
+    bits = encode_scene(p, b, CFG, scales, voxel, out)
+
+    anchor_q = st.get_anchor(p, b)
+    kept = st.get_mask_anchor(p, b.alive)
+    maps = build_level_maps(anchor_q, kept, voxel, tuple(scales),
+                            CFG.level_num)
+    est = estimate_total_bits(p, b, CFG, maps, anchor_q,
+                              jax.random.PRNGKey(9))
+    for stream in ("feat", "scaling", "offsets", "hyper", "masks"):
+        actual = float(bits[stream])
+        estimate = float(est[stream])
+        assert actual <= estimate * 1.05 + 2048, (
+            stream, actual, estimate)
