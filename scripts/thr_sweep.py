@@ -94,9 +94,15 @@ def main():
     for spec in args.configs.split(","):
         g, w, h = (int(x) for x in spec.split("x"))
         budget = min(args.budget_per_mpix * w * h // 1_000_000, 6 << 20)
-        mpix, s_iter, ovf = measure(g, w, h, args.iters, budget)
+        # react to overflow like the train loop: double and re-measure, so a
+        # row is never a truncated (silently lighter) workload
+        for _ in range(3):
+            mpix, s_iter, ovf = measure(g, w, h, args.iters, budget)
+            if not ovf or budget >= (12 << 20):
+                break
+            budget *= 2
         print(f"{g:>10} {w:>5}x{h:<4} {s_iter*1e3:>9.1f} {mpix:>8.2f} "
-              f"{'OVERFLOW' if ovf else 'ok'}", flush=True)
+              f"{'OVERFLOW' if ovf else 'ok'} (budget {budget})", flush=True)
     return 0
 
 
