@@ -26,7 +26,7 @@ run_point() {
   timeout "$TMO" python train.py -s "$OUT/scene" -m "$DIR" \
       --iterations 30000 --lmbda "$LM" --voxel_size 0.01 --no_tensorboard \
       --train_vis_cap 524288 --anchor_capacity 163840 \
-      --checkpoint_iterations 20000 25000 \
+      --checkpoint_iterations 15000 20000 25000 \
       --start_checkpoint "$OUT/l0.004/chkpnt10000.pkl" \
       >> "$OUT/r5_queue.log" 2>&1
   RC=$?

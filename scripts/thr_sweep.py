@@ -26,6 +26,24 @@ DEFAULT = ("200000x1280x720,1000000x1280x720,2000000x1280x720,"
            "200000x1920x1080,1000000x1920x1080")
 
 
+def probe_demand(means, scales, quats, opac, cam, width, height):
+    """Tile-instance demand of this workload (tight opacity-aware rects) —
+    what the train loop's watermark policy would size the budget from."""
+    import jax
+    import jax.numpy as jnp
+    from contextgs_tpu.ops.rasterize.projection import project_gaussians
+
+    @jax.jit
+    def d(means, scales, quats, opac):
+        proj = project_gaussians(
+            means, scales, quats, jnp.asarray(cam.world_view),
+            jnp.asarray(cam.full_proj), cam.tanfovx, cam.tanfovy,
+            width, height, 16, opacities=opac)
+        return jnp.sum(proj.n_tiles)
+    return int(d(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                 jnp.asarray(opac)))
+
+
 def measure(n_gauss, width, height, iters, budget, vis_cap=None):
     import jax
     import jax.numpy as jnp
@@ -49,6 +67,14 @@ def measure(n_gauss, width, height, iters, budget, vis_cap=None):
     cam = Camera(uid=0, colmap_id=0, R=np.eye(3), T=np.zeros(3), fov_x=1.2,
                  fov_y=2 * math.atan(math.tan(0.6) * height / width),
                  image=None, width=width, height=height)
+    if budget is None:
+        # right-size like the train loop's watermark policy (1.3x headroom,
+        # align-granular): glue is STATIC in the budget, so a fixed oversized
+        # budget mismeasures the framework — 200k/720p at a 2.76M budget ran
+        # 134 ms where the same workload at the adapted 768k budget runs
+        # 36 ms (r5 measure log)
+        demand = probe_demand(means, scales, quats, opac, cam, width, height)
+        budget = max(-(-int(demand * 1.3) // 256) * 256, 65536)
     cam_kw = dict(world_view=jnp.asarray(cam.world_view),
                   full_proj=jnp.asarray(cam.full_proj),
                   tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
@@ -79,30 +105,32 @@ def measure(n_gauss, width, height, iters, budget, vis_cap=None):
     t0 = time.time()
     np.asarray(bench_n(*args))
     dt = time.time() - t0
-    return iters * width * height / dt / 1e6, dt / iters, ovf or vovf
+    return iters * width * height / dt / 1e6, dt / iters, ovf or vovf, budget
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--configs", default=DEFAULT)
-    ap.add_argument("--budget_per_mpix", type=int, default=3_000_000,
-                    help="instance budget scaled with pixel count")
+    ap.add_argument("--budget_per_mpix", type=int, default=0,
+                    help="fixed budget per Mpix (0 = auto: probe the demand "
+                         "and apply the train loop's 1.3x watermark policy)")
     args = ap.parse_args()
 
     print(f"{'gaussians':>10} {'res':>10} {'ms/iter':>9} {'Mpix/s':>8} ovf")
     for spec in args.configs.split(","):
         g, w, h = (int(x) for x in spec.split("x"))
-        budget = min(args.budget_per_mpix * w * h // 1_000_000, 6 << 20)
+        budget = (min(args.budget_per_mpix * w * h // 1_000_000, 6 << 20)
+                  if args.budget_per_mpix else None)
         # react to overflow like the train loop: double and re-measure, so a
         # row is never a truncated (silently lighter) workload
         for _ in range(3):
-            mpix, s_iter, ovf = measure(g, w, h, args.iters, budget)
-            if not ovf or budget >= (12 << 20):
+            mpix, s_iter, ovf, used = measure(g, w, h, args.iters, budget)
+            if not ovf:
                 break
-            budget *= 2
+            budget = used * 2
         print(f"{g:>10} {w:>5}x{h:<4} {s_iter*1e3:>9.1f} {mpix:>8.2f} "
-              f"{'OVERFLOW' if ovf else 'ok'} (budget {budget})", flush=True)
+              f"{'OVERFLOW' if ovf else 'ok'} (budget {used})", flush=True)
     return 0
 
 
