@@ -87,11 +87,13 @@ def main():
     print("| " + " | ".join(cols) + " |")
     print("|" + "---|" * len(cols))
     for r in rows:
-        def fmt(v):
+        def fmt(c, v):
+            if c == "lmbda" and isinstance(v, float):
+                return f"{v:g}"    # 0.0005 must not display as "0.001"
             if isinstance(v, float):
                 return f"{v:.3f}"
             return str(v) if v is not None else "—"
-        print("| " + " | ".join(fmt(r.get(c)) for c in cols) + " |")
+        print("| " + " | ".join(fmt(c, r.get(c)) for c in cols) + " |")
 
 
 if __name__ == "__main__":
